@@ -1,0 +1,302 @@
+"""Quantization pipeline orchestrator — the public ``quantize`` API.
+
+Python-level mirror of the reference's orchestrator + Cython bridge
+(/root/reference/lib/src/patolette.c:157-343,
+/root/reference/src/patolette/patolette.pyx:332-477): validation, colorspace
+staging, GQ -> LQ -> (KMeans | centers) -> (dither | NN map) -> sRGB output
+with [-1,-1,-1] fill for unused palette slots.
+
+Staging strategy (SURVEY.md section 7): all O(N) pixel work runs as jitted
+device programs; the only host-side control is the 512-bucket GQ dynamic
+program (f64 on a (512, 11) moment tuple — nothing bigger ever leaves the
+device). A fully-jittable single-program variant lives in
+:func:`palette_pipeline_device` for compile-checking and multi-chip dry runs.
+
+Conscious divergences from the reference (all documented in README):
+  * Q4/Q5: the sRGB no-dither path maps in ICtCp as documented (the C code
+    skips the conversion), and ``palette_only`` output is always sRGB.
+  * GQ/LQ optionally run on a deterministic subsample
+    (``lq_max_samples``, default 4M pixels) — the reference runs them on all
+    pixels but its own KMeans refinement subsamples to <= 262144, so palette
+    quality is bounded by the KMeans sampling either way.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from patolette_tpu.ops import colorspace as cs
+from patolette_tpu.ops import eigen3
+from patolette_tpu.ops import moments as M
+from patolette_tpu.ops.assign import assign
+from patolette_tpu.models import global_q as GQ
+from patolette_tpu.models import local_q as LQ
+from patolette_tpu.models import kmeans as KM
+from patolette_tpu.models import palette as PAL
+from patolette_tpu.utils import errors
+from patolette_tpu.utils.config import ColorSpace, QuantizeOptions
+
+
+def _log(verbose, msg):
+    if verbose:
+        print(f"patolette ======== {msg}", flush=True)
+
+
+# --------------------------------------------------------------------------
+# Jitted stage programs (cached per static config)
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("color_space",))
+def _to_working(colors, color_space):
+    return cs.srgb_to_working(colors, color_space)
+
+
+@jax.jit
+def _gq_bucket_stage(colors):
+    """Unweighted global PCA -> bucket sort -> per-bucket moments.
+
+    Unweighted per quirk Q1 (reference global.c:407,418). Moments are
+    shifted by the global mean for f32 stability (translation-invariant
+    downstream).
+    """
+    tot = M.total_moments(colors)
+    mean = M.moments_center(tot)
+    cov = M.moments_cov(tot)
+    axis, _ = eigen3.principal_axis(cov)
+    proj = M.project(colors, axis)
+    buckets = M.bucketize(
+        proj, GQ.BUCKET_COUNT, jnp.min(proj), jnp.max(proj)
+    )
+    bm = M.segment_moments(colors, buckets, GQ.BUCKET_COUNT, shift=mean)
+    return buckets, bm
+
+
+@functools.partial(jax.jit, static_argnames=("palette_size",))
+def _lq_stage(colors, weights, buckets, cuts, k0, palette_size):
+    labels0 = GQ.labels_from_cuts(buckets, cuts)
+    labels, count = LQ.lq_quantize(
+        colors, weights, labels0, k0, palette_size
+    )
+    centers, mass = PAL.centers_from_labels(
+        colors, weights, labels, palette_size
+    )
+    valid = (jnp.arange(palette_size) < count) & (mass > 0.0)
+    return labels, count, centers, valid
+
+
+@functools.partial(jax.jit, static_argnames=("niter", "max_samples", "seed", "k"))
+def _kmeans_stage(colors, weights, centers, valid, k, niter, max_samples, seed):
+    return KM.refine_palette(
+        colors, weights, centers, valid, k, niter, max_samples, seed
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("color_space",))
+def _nn_map_stage(colors_working, palette_working, valid, color_space):
+    """Plain NN mapping, always in ICtCp (patolette.c:140, quirk Q4)."""
+    xi = cs.working_to_ictcp(colors_working, color_space)
+    pi = cs.working_to_ictcp(palette_working, color_space)
+    return assign(xi, pi, valid=valid)
+
+
+@functools.partial(jax.jit, static_argnames=("color_space",))
+def _palette_to_srgb(palette_working, color_space):
+    return cs.working_to_srgb(palette_working, color_space)
+
+
+# --------------------------------------------------------------------------
+# Public API
+# --------------------------------------------------------------------------
+
+def quantize(
+    width: int,
+    height: int,
+    colors,
+    palette_size: int,
+    dither: bool = True,
+    palette_only: bool = False,
+    color_space: ColorSpace = ColorSpace.ICtCp,
+    tile_size: float = 512.0,
+    kmeans_niter: int = 32,
+    kmeans_max_samples: int = 512**2,
+    verbose: bool = False,
+    *,
+    weights=None,
+    lq_max_samples: int = 1 << 22,
+    dither_segment: int = 4096,
+    seed: int = 1234,
+):
+    """Quantize an image to ``palette_size`` colors.
+
+    Signature and return convention mirror the reference Python API
+    (reference pyx:332-466): returns ``(success, palette, palette_map,
+    message)`` with ``palette`` an (palette_size, 3) float64 sRGB array
+    ([-1,-1,-1] rows for unused slots) and ``palette_map`` an int32 array of
+    length width*height (None if ``palette_only``).
+
+    Extra keyword-only args are TPU-native extensions: explicit ``weights``
+    (bypasses saliency, like the reference C API), sampling caps and the
+    dither segmentation (see :class:`QuantizeOptions`).
+    """
+    colors = np.asarray(colors)
+    if colors.ndim != 2 or colors.shape[1] != 3:
+        ch = colors.shape[1] if colors.ndim == 2 else colors.ndim
+        return False, None, None, errors.BAD_CHANNEL_COUNT.format(ch)
+    if colors.shape[0] != width * height:
+        return False, None, None, errors.COLOR_MISMATCH
+    if tile_size < 0:
+        return False, None, None, errors.BAD_TILE_SIZE
+
+    code = errors.validate_dims(width, height, palette_size)
+    if code != errors.ExitCode.SUCCESS:
+        return False, None, None, errors.exit_code_message(code)
+
+    n = width * height
+    p = int(palette_size)
+    x_srgb = jnp.asarray(colors, dtype=jnp.float32)
+
+    # --- weights: explicit > saliency > none -----------------------------
+    w_full = None
+    if weights is not None:
+        w_full = jnp.asarray(np.asarray(weights), dtype=jnp.float32)
+    elif tile_size > 0:
+        _log(verbose, "Generating saliency map")
+        from patolette_tpu.models import saliency as SAL
+
+        w_full = SAL.get_weights(
+            x_srgb.reshape(height, width, 3), float(tile_size)
+        )
+        if w_full is not None:
+            w_full = w_full.reshape(-1)
+
+    # --- colorspace staging ----------------------------------------------
+    csp = int(color_space)
+    x_work = _to_working(x_srgb, csp)
+
+    _log(verbose, "Palette generation")
+
+    # --- GQ/LQ subsample --------------------------------------------------
+    if lq_max_samples and n > lq_max_samples:
+        rng = np.random.default_rng(seed)
+        idx = jnp.asarray(rng.integers(0, n, size=lq_max_samples))
+        x_lq = jnp.take(x_work, idx, axis=0)
+        w_lq = None if w_full is None else jnp.take(w_full, idx, axis=0)
+    else:
+        x_lq, w_lq = x_work, w_full
+
+    # --- GQ: device moments, host f64 DP ---------------------------------
+    buckets, bm = _gq_bucket_stage(x_lq)
+    cuts_np = GQ.gq_host(np.asarray(bm, np.float64), p)
+    k0 = len(cuts_np) - 1
+    cuts = jnp.asarray(
+        np.pad(cuts_np, (0, GQ.MAX_K + 1 - len(cuts_np)),
+               constant_values=GQ.BUCKET_COUNT).astype(np.int32)
+    )
+    _log(verbose, f"Base cluster count: {k0}")
+
+    # --- LQ ----------------------------------------------------------------
+    labels, count, centers, valid = _lq_stage(
+        x_lq, w_lq, buckets, cuts, jnp.int32(k0), p
+    )
+
+    # --- KMeans refinement -------------------------------------------------
+    if kmeans_niter > 0:
+        _log(verbose, "KMeans refinement")
+        centers = _kmeans_stage(
+            x_work, w_full, centers, valid, p,
+            int(kmeans_niter), int(kmeans_max_samples), int(seed),
+        )
+
+    palette_work = centers
+    valid_np = np.asarray(valid)
+    count = int(np.asarray(count))
+
+    palette_map = None
+    if not palette_only:
+        if dither:
+            _log(verbose, "Dithering")
+            from patolette_tpu.models import dither as DITH
+
+            palette_map = DITH.riemersma_dither(
+                x_work, palette_work, valid, width, height, csp,
+                segment=dither_segment,
+            )
+        else:
+            _log(verbose, "NN mapping")
+            palette_map = _nn_map_stage(x_work, palette_work, valid, csp)
+        palette_map = np.asarray(palette_map, dtype=np.int32)
+
+    # --- palette to sRGB + [-1] fill (patolette.c:328-336) -----------------
+    pal_srgb = np.asarray(_palette_to_srgb(palette_work, csp), np.float64)
+    palette = np.full((p, 3), -1.0)
+    palette[valid_np] = pal_srgb[valid_np]
+
+    return True, palette, palette_map, errors.exit_code_message(
+        errors.ExitCode.SUCCESS
+    )
+
+
+# --------------------------------------------------------------------------
+# Fully-jittable single-program pipeline (palette path)
+# --------------------------------------------------------------------------
+
+def palette_pipeline_device(colors, weights, palette_size: int,
+                            color_space: int = 2, kmeans_niter: int = 0,
+                            kmeans_max_samples: int = 512**2, seed: int = 1234,
+                            axis_name=None):
+    """End-to-end palette generation as one traced program.
+
+    Device-side GQ DP (f32) instead of the host f64 path; used by
+    ``__graft_entry__`` for compile checks and the multi-chip dry run.
+    With ``axis_name`` set, runs as the per-shard body of a ``shard_map``
+    over a pixel-sharded mesh axis: every pixel reduction becomes a
+    per-shard partial + ``psum``, while the 512-bucket DP and the greedy
+    control run replicated on the all-reduced moments (SURVEY.md 2.3).
+
+    Returns ``(palette_working, valid, palette_map)``; ``palette_map`` is
+    sharded like the input pixels.
+    """
+    x = cs.srgb_to_working(colors, color_space)
+    buckets, bm = _gq_bucket_stage_inline(x, axis_name)
+    cuts, k0 = GQ.gq_device(bm, palette_size)
+    labels0 = GQ.labels_from_cuts(buckets, cuts)
+    labels, count = LQ.lq_quantize(
+        x, weights, labels0, k0, palette_size, axis_name=axis_name
+    )
+    centers, mass = PAL.centers_from_labels(
+        x, weights, labels, palette_size, axis_name=axis_name
+    )
+    valid = (jnp.arange(palette_size) < count) & (mass > 0.0)
+    if kmeans_niter > 0:
+        centers = KM.refine_palette(
+            x, weights, centers, valid, palette_size, kmeans_niter,
+            kmeans_max_samples, seed, axis_name=axis_name,
+        )
+    xi = cs.working_to_ictcp(x, color_space)
+    pi = cs.working_to_ictcp(centers, color_space)
+    pmap = assign(xi, pi, valid=valid)
+    return centers, valid, pmap
+
+
+def _gq_bucket_stage_inline(colors, axis_name=None):
+    tot = M.total_moments(colors, axis_name=axis_name)
+    mean = M.moments_center(tot)
+    cov = M.moments_cov(tot)
+    axis, _ = eigen3.principal_axis(cov)
+    proj = M.project(colors, axis)
+    pmin, pmax = jnp.min(proj), jnp.max(proj)
+    if axis_name is not None:
+        pmin = jax.lax.pmin(pmin, axis_name)
+        pmax = jax.lax.pmax(pmax, axis_name)
+    buckets = M.bucketize(
+        proj, GQ.BUCKET_COUNT, pmin, pmax, axis_name=axis_name
+    )
+    bm = M.segment_moments(
+        colors, buckets, GQ.BUCKET_COUNT, shift=mean, axis_name=axis_name
+    )
+    return buckets, bm

@@ -1,0 +1,223 @@
+"""Minimum-Barrier-Distance saliency weighting.
+
+Reference: the Cython/NumPy implementation at
+/root/reference/src/patolette/patolette.pyx:47-317. Pipeline reproduced:
+
+  1. MBD transform of the channel-mean image: 3 passes of alternating
+     raster scans (iteration 0 and 2 are INVERSE scans, iteration 1 forward
+     — pyx:181-199), barrier cost ``max(U, I) - min(L, I)`` with the
+     neighbor that minimizes it (pyx:54-156).
+  2. Border prior: Mahalanobis distance of every pixel's Lab color to the
+     mean of each of 4 border strips (thickness = floor(0.1 * sqrt(W*H))),
+     each normalized by its max; combined as ``sum - max`` (pyx:203-288).
+  3. Center prior (radial falloff, pyx:296-304), sigmoid squash with b = 10
+     (pyx:306-312), final weights ``1 + sal^2 * (rows*cols)/tile_size^2``
+     (pyx:313).
+
+TPU-native reformulation (SURVEY.md section 7, stage 7): the serial 2-D
+raster recurrence is a wavefront: cell (x, y) depends on (x-1, y), (x, y-1)
+— both on the previous anti-diagonal — so each pass is a ``lax.scan`` over
+anti-diagonals of a skewed layout with O(rows) vector work per step.
+
+Divergences: singular border covariances use pseudo-inverse (the reference
+would raise LinAlgError); images with a dimension <= 3 return None (no
+weighting), where the reference would crash on ``sal.shape``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from patolette_tpu.ops import colorspace as cs
+
+
+# --------------------------------------------------------------------------
+# MBD raster scans as anti-diagonal wavefronts
+# --------------------------------------------------------------------------
+
+def _skew(a):
+    """(rows, cols) -> (rows, rows+cols-1) with S[x, x+y] = A[x, y]."""
+    rows, cols = a.shape
+    out = jnp.zeros((rows, rows + cols - 1), a.dtype)
+    idx = jnp.arange(cols)[None, :] + jnp.arange(rows)[:, None]
+    return out.at[jnp.arange(rows)[:, None], idx].set(a)
+
+
+def _unskew(s, rows, cols):
+    idx = jnp.arange(cols)[None, :] + jnp.arange(rows)[:, None]
+    return s[jnp.arange(rows)[:, None], idx]
+
+
+def _wavefront_pass(img, l, u, d, inverse: bool):
+    """One raster scan (forward: pyx:54-104; inverse: pyx:106-156).
+
+    Forward updates x in [1, rows-2], y in [1, cols-2] reading already-
+    updated (x-1, y) and (x, y-1). Inverse updates x, y in [2, rows-2] /
+    [2, cols-2] (note the reference's ``while x > 1``) reading (x+1, y),
+    (x, y+1). Both neighbor sets live on the adjacent anti-diagonal, so a
+    scan over diagonals with the previous diagonal as carry is exact.
+    """
+    rows, cols = img.shape
+    ndiag = rows + cols - 1
+    xs_idx = jnp.arange(rows)
+
+    s_img = _skew(img)
+    s_l, s_u, s_d = _skew(l), _skew(u), _skew(d)
+
+    if not inverse:
+        diags = jnp.arange(ndiag)
+        x_lo, x_hi = 1, rows - 2
+        y_lo, y_hi = 1, cols - 2
+    else:
+        diags = jnp.arange(ndiag - 1, -1, -1)
+        x_lo, x_hi = 2, rows - 2
+        y_lo, y_hi = 2, cols - 2
+
+    def step(carry, dg):
+        pl, pu, pd = carry  # previous diagonal's NEW columns (len rows)
+        il = s_l[:, dg]
+        iu = s_u[:, dg]
+        idd = s_d[:, dg]
+        ix = s_img[:, dg]
+
+        y = dg - xs_idx
+        active = (
+            (xs_idx >= x_lo) & (xs_idx <= x_hi) & (y >= y_lo) & (y <= y_hi)
+        )
+
+        if not inverse:
+            # neighbor 1: (x-1, y) -> prev diag, row x-1
+            u1 = jnp.roll(pu, 1)
+            l1 = jnp.roll(pl, 1)
+            # neighbor 2: (x, y-1) -> prev diag, row x
+            u2, l2 = pu, pl
+        else:
+            u1 = jnp.roll(pu, -1)   # (x+1, y)
+            l1 = jnp.roll(pl, -1)
+            u2, l2 = pu, pl         # (x, y+1)
+
+        b1 = jnp.maximum(u1, ix) - jnp.minimum(l1, ix)
+        b2 = jnp.maximum(u2, ix) - jnp.minimum(l2, ix)
+
+        keep = (idd <= b1) & (idd <= b2)
+        use1 = (~keep) & (b1 < idd) & (b1 <= b2)
+        use2 = (~keep) & (~use1)
+
+        nd = jnp.where(use1, b1, jnp.where(use2, b2, idd))
+        nu = jnp.where(use1, jnp.maximum(u1, ix),
+                       jnp.where(use2, jnp.maximum(u2, ix), iu))
+        nl = jnp.where(use1, jnp.minimum(l1, ix),
+                       jnp.where(use2, jnp.minimum(l2, ix), il))
+
+        nd = jnp.where(active, nd, idd)
+        nu = jnp.where(active, nu, iu)
+        nl = jnp.where(active, nl, il)
+        return (nl, nu, nd), (nl, nu, nd)
+
+    init = (
+        jnp.zeros((rows,), img.dtype),
+        jnp.zeros((rows,), img.dtype),
+        jnp.zeros((rows,), img.dtype),
+    )
+    _, (ol, ou, od) = jax.lax.scan(step, init, diags)
+    if inverse:
+        ol, ou, od = ol[::-1], ou[::-1], od[::-1]
+    l_new = _unskew(ol.T, rows, cols)
+    u_new = _unskew(ou.T, rows, cols)
+    d_new = _unskew(od.T, rows, cols)
+    return l_new, u_new, d_new
+
+
+@jax.jit
+def mbd(img):
+    """Minimum barrier distance, 3 alternating scans (pyx:158-201)."""
+    rows, cols = img.shape
+    l = img
+    u = img
+    d = jnp.full((rows, cols), jnp.inf, img.dtype)
+    d = d.at[0, :].set(0).at[-1, :].set(0).at[:, 0].set(0).at[:, -1].set(0)
+
+    for it in range(3):
+        inverse = it % 2 == 0  # pyx:182: x % 2 == 1 -> forward scan
+        l, u, d = _wavefront_pass(img, l, u, d, inverse)
+    return d
+
+
+# --------------------------------------------------------------------------
+# Border + center priors, final weight formula
+# --------------------------------------------------------------------------
+
+def _border_prior(lab, border):
+    """4 Mahalanobis border maps, each /max, combined sum - max
+    (pyx:215-288)."""
+    rows, cols = lab.shape[:2]
+    flat = lab.reshape(-1, 3)
+
+    strips = [
+        lab[0:border],                      # "left" (top rows, pyx:215)
+        lab[rows - border - 1:-1],          # "right" (bottom rows)
+        lab[:, 0:border],                   # "top" (left cols)
+        lab[:, cols - border - 1:-1],       # "bottom" (right cols)
+    ]
+
+    maps = []
+    for strip in strips:
+        px = strip.reshape(-1, 3)
+        mean = jnp.mean(px, axis=0)
+        xc = px - mean
+        # np.cov: unbiased (n-1) normalization (pyx:232-236)
+        cov = (xc.T @ xc) / jnp.maximum(px.shape[0] - 1, 1)
+        vi = jnp.linalg.pinv(cov)
+        diff = flat - mean
+        d2 = jnp.einsum("ni,ij,nj->n", diff, vi, diff)
+        u = jnp.sqrt(jnp.maximum(d2, 0.0)).reshape(rows, cols)
+        maps.append(u / jnp.maximum(jnp.max(u), 1e-30))
+
+    stacked = jnp.stack(maps)
+    return jnp.sum(stacked, axis=0) - jnp.max(stacked, axis=0)
+
+
+def get_weights(img_srgb, tile_size: float):
+    """Saliency weights for an (H, W, 3) sRGB image (pyx:203-313).
+
+    Returns (H*W,) weights in [1, inf), or None for degenerate sizes.
+    """
+    rows, cols = int(img_srgb.shape[0]), int(img_srgb.shape[1])
+    if rows <= 3 or cols <= 3:
+        return None
+
+    img_mean = jnp.mean(img_srgb, axis=2).astype(jnp.float32)
+    sal = mbd(img_mean)
+
+    border = int(0.1 * (rows * cols) ** 0.5)
+    border = max(border, 1)
+
+    lab = cs.srgb_to_lab(img_srgb)
+    u_final = _border_prior(lab, border)
+
+    sal = sal / jnp.maximum(jnp.max(sal), 1e-30) + u_final / jnp.maximum(
+        jnp.max(u_final), 1e-30
+    )
+    sal = sal / jnp.maximum(jnp.max(sal), 1e-30)
+
+    # center prior (pyx:296-304); w = rows, h = cols in the reference's
+    # (confusing) naming
+    w2 = rows / 2.0
+    h2 = cols / 2.0
+    yv, xv = jnp.meshgrid(
+        jnp.arange(rows, dtype=sal.dtype),
+        jnp.arange(cols, dtype=sal.dtype),
+        indexing="ij",
+    )
+    c = 1.0 - jnp.sqrt((xv - h2) ** 2 + (yv - w2) ** 2) / jnp.sqrt(
+        w2**2 + h2**2
+    )
+    sal = sal * c
+
+    sal = sal / jnp.maximum(jnp.max(sal), 1e-30)
+    sal = 1.0 / (1.0 + jnp.exp(-10.0 * (sal - 0.5)))  # pyx:306-312
+
+    return 1.0 + sal.reshape(-1) ** 2 * (rows * cols) / (tile_size**2)

@@ -1,0 +1,240 @@
+// patolette_tpu native oracle library.
+//
+// Serial C++ implementations with the exact semantics of the reference's
+// serial subsystems, used as golden oracles for the TPU kernels and as
+// host-side fallbacks. Written from the documented semantics
+// (/root/reference/lib/src/dither/riemersma.c traversal + queue rules,
+// /root/reference/src/patolette/patolette.pyx raster scans) — not a copy;
+// data layout, state handling and structure are our own.
+//
+// Build: make -C patolette_tpu/native   (produces liboracle.so)
+// ABI: plain C, consumed via ctypes (native/__init__.py).
+
+#include <cstddef>
+#include <cstdint>
+#include <cmath>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Brute-force nearest neighbour (replaces FLANN kd-tree semantics: exact,
+// lowest index wins ties).
+// ---------------------------------------------------------------------------
+inline int nearest(const double* q, const double* pal, int k) {
+    int best = 0;
+    double best_d = 1e300;
+    for (int i = 0; i < k; i++) {
+        const double dx = q[0] - pal[3 * i];
+        const double dy = q[1] - pal[3 * i + 1];
+        const double dz = q[2] - pal[3 * i + 2];
+        const double d = dx * dx + dy * dy + dz * dz;
+        if (d < best_d) { best_d = d; best = i; }
+    }
+    return best;
+}
+
+// ---------------------------------------------------------------------------
+// Riemersma dither state
+// ---------------------------------------------------------------------------
+struct DitherState {
+    long x = 0, y = 0;
+    long width = 0, height = 0;
+    int k = 0;
+    const double* image = nullptr;   // (h*w, 3) row-major linear Rec2020
+    const double* palette = nullptr; // (k, 3)
+    std::vector<double> pal_scaled;  // luminance-weighted palette
+    int32_t* out = nullptr;
+    double queue[16][3];
+    double qweights[16];
+    double cw[3];                    // channel weights
+};
+
+void dither_pixel(DitherState& st) {
+    double err[3] = {0, 0, 0};
+    for (int i = 0; i < 16; i++)
+        for (int c = 0; c < 3; c++)
+            err[c] += st.queue[i][c] * st.qweights[i];
+
+    const size_t idx = (size_t)st.y * st.width + st.x;
+    const double* px = st.image + 3 * idx;
+    double q[3];
+    for (int c = 0; c < 3; c++) q[c] = (px[c] + err[c]) * st.cw[c];
+
+    const int j = nearest(q, st.pal_scaled.data(), st.k);
+    st.out[idx] = j;
+
+    // shift queue, push new error (pixel minus chosen palette color)
+    std::memmove(st.queue[0], st.queue[1], sizeof(double) * 15 * 3);
+    for (int c = 0; c < 3; c++)
+        st.queue[15][c] = px[c] - st.palette[3 * j + c];
+}
+
+enum Dir { NONE, UP, LEFT, RIGHT, DOWN };
+
+void move_(DitherState& st, Dir d) {
+    if (st.x >= 0 && st.x < st.width && st.y >= 0 && st.y < st.height)
+        dither_pixel(st);
+    switch (d) {
+        case LEFT:  st.x--; break;
+        case RIGHT: st.x++; break;
+        case UP:    st.y--; break;
+        case DOWN:  st.y++; break;
+        case NONE:  break;
+    }
+}
+
+// UP-start Hilbert traversal with the reference's direction grammar
+// (riemersma.c:176-257 semantics).
+void traverse(DitherState& st, int level, Dir dir) {
+    if (level == 1) {
+        switch (dir) {
+            case LEFT:  move_(st, RIGHT); move_(st, DOWN);  move_(st, LEFT);  break;
+            case RIGHT: move_(st, LEFT);  move_(st, UP);    move_(st, RIGHT); break;
+            case UP:    move_(st, DOWN);  move_(st, RIGHT); move_(st, UP);    break;
+            case DOWN:  move_(st, UP);    move_(st, LEFT);  move_(st, DOWN);  break;
+            default: break;
+        }
+        return;
+    }
+    switch (dir) {
+        case LEFT:
+            traverse(st, level - 1, UP);    move_(st, RIGHT);
+            traverse(st, level - 1, LEFT);  move_(st, DOWN);
+            traverse(st, level - 1, LEFT);  move_(st, LEFT);
+            traverse(st, level - 1, DOWN);  break;
+        case RIGHT:
+            traverse(st, level - 1, DOWN);  move_(st, LEFT);
+            traverse(st, level - 1, RIGHT); move_(st, UP);
+            traverse(st, level - 1, RIGHT); move_(st, RIGHT);
+            traverse(st, level - 1, UP);    break;
+        case UP:
+            traverse(st, level - 1, LEFT);  move_(st, DOWN);
+            traverse(st, level - 1, UP);    move_(st, RIGHT);
+            traverse(st, level - 1, UP);    move_(st, UP);
+            traverse(st, level - 1, RIGHT); break;
+        case DOWN:
+            traverse(st, level - 1, RIGHT); move_(st, UP);
+            traverse(st, level - 1, DOWN);  move_(st, LEFT);
+            traverse(st, level - 1, DOWN);  move_(st, DOWN);
+            traverse(st, level - 1, LEFT);  break;
+        default: break;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Exact serial Riemersma dither.
+// image: (h*w, 3) doubles, linear Rec2020, row-major scan order.
+// palette: (k, 3) doubles. out: int32 (h*w).
+// cw: 3 channel weights (luminance-weighted NN space).
+void oracle_riemersma_dither(const double* image, long width, long height,
+                             const double* palette, int k,
+                             const double* cw, int32_t* out) {
+    DitherState st;
+    st.width = width; st.height = height; st.k = k;
+    st.image = image; st.palette = palette; st.out = out;
+    st.cw[0] = cw[0]; st.cw[1] = cw[1]; st.cw[2] = cw[2];
+    st.pal_scaled.resize((size_t)k * 3);
+    for (int i = 0; i < k; i++)
+        for (int c = 0; c < 3; c++)
+            st.pal_scaled[3 * i + c] = palette[3 * i + c] * cw[c];
+    std::memset(st.queue, 0, sizeof(st.queue));
+    const double m = std::exp(std::log(16.0) / 15.0);
+    double v = 1.0;
+    for (int i = 0; i < 16; i++) { st.qweights[i] = v / 16.0; v *= m; }
+
+    long mx = std::max(width, height);
+    int level = 0;
+    long value = mx;
+    while (value > 1) { value >>= 1; level++; }
+    if ((1L << level) < mx) level++;
+
+    if (level > 0) {
+        traverse(st, level, UP);
+        move_(st, NONE);
+    }
+}
+
+// Batch exact NN mapping (FLANN replacement semantics).
+void oracle_nn_map(const double* colors, long n, const double* palette,
+                   int k, int32_t* out) {
+    for (long i = 0; i < n; i++)
+        out[i] = nearest(colors + 3 * i, palette, k);
+}
+
+// One MBD raster scan, forward or inverse (pyx:54-156 semantics).
+// img/l/u/d: (rows, cols) float32 row-major; l/u/d updated in place.
+void oracle_mbd_scan(const float* img, float* l, float* u, float* d,
+                     long rows, long cols, int inverse) {
+    auto at = [cols](long x, long y) { return (size_t)x * cols + y; };
+    if (!inverse) {
+        for (long x = 1; x < rows - 1; x++) {
+            for (long y = 1; y < cols - 1; y++) {
+                const float ix = img[at(x, y)];
+                const float dd = d[at(x, y)];
+                const float u1 = u[at(x - 1, y)], l1 = l[at(x - 1, y)];
+                const float u2 = u[at(x, y - 1)], l2 = l[at(x, y - 1)];
+                const float b1 = std::max(u1, ix) - std::min(l1, ix);
+                const float b2 = std::max(u2, ix) - std::min(l2, ix);
+                if (dd <= b1 && dd <= b2) continue;
+                if (b1 < dd && b1 <= b2) {
+                    d[at(x, y)] = b1;
+                    u[at(x, y)] = std::max(u1, ix);
+                    l[at(x, y)] = std::min(l1, ix);
+                } else {
+                    d[at(x, y)] = b2;
+                    u[at(x, y)] = std::max(u2, ix);
+                    l[at(x, y)] = std::min(l2, ix);
+                }
+            }
+        }
+    } else {
+        for (long x = rows - 2; x > 1; x--) {
+            for (long y = cols - 2; y > 1; y--) {
+                const float ix = img[at(x, y)];
+                const float dd = d[at(x, y)];
+                const float u1 = u[at(x + 1, y)], l1 = l[at(x + 1, y)];
+                const float u2 = u[at(x, y + 1)], l2 = l[at(x, y + 1)];
+                const float b1 = std::max(u1, ix) - std::min(l1, ix);
+                const float b2 = std::max(u2, ix) - std::min(l2, ix);
+                if (dd <= b1 && dd <= b2) continue;
+                if (b1 < dd && b1 <= b2) {
+                    d[at(x, y)] = b1;
+                    u[at(x, y)] = std::max(u1, ix);
+                    l[at(x, y)] = std::min(l1, ix);
+                } else {
+                    d[at(x, y)] = b2;
+                    u[at(x, y)] = std::max(u2, ix);
+                    l[at(x, y)] = std::min(l2, ix);
+                }
+            }
+        }
+    }
+}
+
+// Vectorized Hilbert xy->d (same transform as ops/hilbert.py), for
+// host-side permutation building on huge images.
+void oracle_hilbert_d(const uint32_t* xs, const uint32_t* ys, long n,
+                      int order, uint64_t* out) {
+    for (long i = 0; i < n; i++) {
+        uint32_t x = xs[i], y = ys[i];
+        uint64_t dacc = 0;
+        for (uint32_t s = 1u << (order - 1); s > 0; s >>= 1) {
+            const uint32_t rx = (x & s) ? 1 : 0;
+            const uint32_t ry = (y & s) ? 1 : 0;
+            dacc += (uint64_t)s * s * ((3 * rx) ^ ry);
+            if (ry == 0) {
+                if (rx == 1) { x = s - 1 - x; y = s - 1 - y; }
+                const uint32_t t = x; x = y; y = t;
+            }
+        }
+        out[i] = dacc;
+    }
+}
+
+}  // extern "C"

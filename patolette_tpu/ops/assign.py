@@ -1,0 +1,75 @@
+"""Nearest-centroid assignment: MXU distance-matrix argmin.
+
+TPU-native replacement for both kd-tree uses in the reference:
+  * FLANN batch palette mapping (/root/reference/lib/src/palette/nearest.c:150-209)
+  * faiss ``IndexFlatL2.search`` inside KMeans
+    (/root/reference/lib/faiss/faiss/Clustering.cpp:446-452)
+
+For k <= a few thousand centroids, ``argmin_k (|x|^2 - 2 x.C^T + |c|^2)``
+over a (tile, k) product is the TPU-shaped formulation — the matmul rides the
+MXU and there is no pointer-chasing data structure (SURVEY.md section 7).
+
+The distance matrix is never materialized for the full pixel array: pixels
+stream through in chunks under ``lax.scan`` (XLA) so the transient is
+``chunk x k``. A fused Pallas kernel for the same computation lives in
+:mod:`patolette_tpu.ops.assign_pallas` and is used on TPU when available.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_DEFAULT_CHUNK = 65536
+
+
+def _assign_block(x, centers, c2, valid):
+    """labels, dists for one block. centers: (K,3); c2: (K,) squared norms."""
+    # -2 x.C^T + |c|^2 ; |x|^2 is constant per row and irrelevant for argmin
+    # but needed for returned distances.
+    prod = jnp.dot(x, centers.T, precision="highest")  # (n, K)
+    d = c2[None, :] - 2.0 * prod
+    if valid is not None:
+        d = jnp.where(valid[None, :], d, jnp.inf)
+    labels = jnp.argmin(d, axis=-1).astype(jnp.int32)
+    x2 = jnp.sum(x * x, axis=-1)
+    dmin = jnp.min(d, axis=-1) + x2
+    return labels, jnp.maximum(dmin, 0.0)
+
+
+def assign(colors, centers, valid=None, chunk=_DEFAULT_CHUNK,
+           with_distances=False):
+    """Nearest centroid per pixel.
+
+    Args:
+      colors: (N, 3).
+      centers: (K, 3). K is expected <= ~4096.
+      valid: optional (K,) bool; invalid centroids never win
+        (used for palette slots beyond the live cluster count).
+      with_distances: also return squared L2 distances (N,).
+
+    Ties resolve to the lowest centroid index, like faiss' exhaustive
+    ``knn_L2sqr`` and FLANN's exact search.
+    """
+    n = colors.shape[0]
+    c2 = jnp.sum(centers * centers, axis=-1)
+
+    if n <= chunk:
+        labels, dists = _assign_block(colors, centers, c2, valid)
+        return (labels, dists) if with_distances else labels
+
+    pad = (-n) % chunk
+    x = colors
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad, 3), colors.dtype)], axis=0
+        )
+    xc = x.reshape(-1, chunk, 3)
+
+    def body(_, xb):
+        return None, _assign_block(xb, centers, c2, valid)
+
+    _, (labels, dists) = jax.lax.scan(body, None, xc)
+    labels = labels.reshape(-1)[:n]
+    dists = dists.reshape(-1)[:n]
+    return (labels, dists) if with_distances else labels

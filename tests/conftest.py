@@ -1,0 +1,35 @@
+"""Test configuration.
+
+Runs every test on a virtual 8-device CPU mesh so sharding/collective logic
+is exercised without TPU hardware (SURVEY.md section 4.3).
+
+NOTE: this environment pre-imports jax via a sitecustomize on PYTHONPATH and
+pre-exports JAX_PLATFORMS=axon (a TPU tunnel), so plain env vars are not
+enough: the platform must be overridden through jax.config BEFORE the
+backend initializes. XLA_FLAGS is still read lazily at backend init, so the
+host-device-count flag does take effect from here.
+"""
+
+import os
+import sys
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# Opt out of the CPU override with PATOLETTE_TEST_TPU=1 to run on hardware.
+if not os.environ.get("PATOLETTE_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+# The library is dtype-polymorphic (f32 on TPU); tests validate the math at
+# f64 against numpy oracles, which needs x64 enabled.
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

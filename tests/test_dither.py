@@ -1,0 +1,100 @@
+"""Hilbert curve + Riemersma dither tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from patolette_tpu.ops import hilbert
+from patolette_tpu.models import dither as D
+
+
+class TestHilbert:
+    def test_order(self):
+        assert hilbert.curve_order(512, 512) == 9
+        assert hilbert.curve_order(513, 100) == 10
+        assert hilbert.curve_order(1, 1) == 1
+
+    def test_permutation_is_bijection(self):
+        perm = np.asarray(hilbert.pixel_visit_order(13, 7))
+        assert sorted(perm) == list(range(13 * 7))
+
+    def test_curve_is_connected(self):
+        """Consecutive curve positions are 4-neighbors on the full grid."""
+        order = 4
+        side = 1 << order
+        idx = jnp.arange(side * side, dtype=jnp.uint32)
+        x = idx % side
+        y = idx // side
+        d = np.asarray(hilbert.xy_to_d(x, y, order))
+        pos = np.empty(side * side, np.int64)
+        pos[d] = np.arange(side * side)
+        xs, ys = pos % side, pos // side
+        steps = np.abs(np.diff(xs)) + np.abs(np.diff(ys))
+        np.testing.assert_array_equal(steps, 1)
+
+    def test_locality(self):
+        """Hilbert order visits each image quadrant contiguously-ish:
+        average index distance between 4-neighbors stays tiny."""
+        perm = np.asarray(hilbert.pixel_visit_order(64, 64))
+        visit_rank = np.empty(64 * 64)
+        visit_rank[perm] = np.arange(64 * 64)
+        r = visit_rank.reshape(64, 64)
+        dx = np.abs(np.diff(r, axis=1)).mean()
+        assert dx < 200  # row-major would give ~1 but long jumps; random ~1365
+
+
+class TestDither:
+    def _palette(self):
+        g = np.linspace(0, 1, 9)
+        return np.stack([g, g, g], -1).astype(np.float32)
+
+    def test_exact_colors_pass_through(self):
+        """Pixels exactly equal to palette colors map to themselves."""
+        pal = self._palette()
+        rng = np.random.default_rng(0)
+        idx = rng.integers(0, len(pal), 256)
+        img = pal[idx]
+        pmap = np.asarray(D._dither_stream(
+            jnp.asarray(img), jnp.asarray(pal),
+            jnp.ones(len(pal), bool), 16, 16, 0,
+        ))
+        np.testing.assert_array_equal(pmap, idx)
+
+    def test_grey_average_preserved(self):
+        """Dithering a flat mid-grey with a black/white palette must produce
+        a mix whose average approximates the grey (error diffusion)."""
+        pal = np.array([[0, 0, 0], [1, 1, 1]], np.float32)
+        img = np.full((4096, 3), 0.4, np.float32)
+        pmap = np.asarray(D._dither_stream(
+            jnp.asarray(img), jnp.asarray(pal), jnp.ones(2, bool),
+            64, 64, 0,
+        ))
+        frac_white = pmap.mean()
+        assert 0.25 < frac_white < 0.55
+        # plain NN would give all-black (0.4 < 0.5 in weighted space)
+
+    def test_segmented_close_to_serial(self):
+        rng = np.random.default_rng(1)
+        img = rng.uniform(0, 1, (4096, 3)).astype(np.float32)
+        pal = rng.uniform(0, 1, (16, 3)).astype(np.float32)
+        valid = jnp.ones(16, bool)
+        serial = np.asarray(D._dither_stream(
+            jnp.asarray(img), jnp.asarray(pal), valid, 64, 64, 0))
+        seg = np.asarray(D._dither_stream(
+            jnp.asarray(img), jnp.asarray(pal), valid, 64, 64, 512))
+        # identical except near the 8 segment seams
+        agree = (serial == seg).mean()
+        assert agree > 0.9
+
+    def test_invalid_palette_slots_never_chosen(self):
+        rng = np.random.default_rng(2)
+        img = rng.uniform(0, 1, (1024, 3)).astype(np.float32)
+        pal = np.vstack([self._palette(), [[0.5, 0.5, 0.5]]]).astype(np.float32)
+        valid = jnp.asarray(np.array([True] * 9 + [False]))
+        pmap = np.asarray(D._dither_stream(
+            jnp.asarray(img), jnp.asarray(pal), valid, 32, 32, 256))
+        assert 9 not in np.unique(pmap)
+
+    def test_queue_weights(self):
+        w = np.asarray(D._queue_weights(jnp.float32))
+        assert len(w) == 16
+        np.testing.assert_allclose(w[-1] / w[0], 16.0, rtol=1e-5)

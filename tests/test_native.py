@@ -1,0 +1,71 @@
+"""Native oracle library tests + TPU-vs-oracle parity checks."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from patolette_tpu import native
+from patolette_tpu.ops import hilbert
+from patolette_tpu.ops.assign import assign
+from patolette_tpu.models import dither as D
+from patolette_tpu.models import saliency as S
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="no C++ toolchain"
+)
+
+
+class TestNative:
+    def test_nn_map_matches_jax(self):
+        rng = np.random.default_rng(0)
+        x = rng.uniform(0, 1, (2000, 3))
+        pal = rng.uniform(0, 1, (32, 3))
+        a = native.nn_map(x, pal)
+        b = np.asarray(assign(jnp.asarray(x), jnp.asarray(pal)))
+        np.testing.assert_array_equal(a, b)
+
+    def test_hilbert_matches_jax(self):
+        order = 6
+        side = 1 << order
+        idx = np.arange(side * side, dtype=np.uint32)
+        x, y = idx % side, idx // side
+        a = native.hilbert_d(x, y, order)
+        b = np.asarray(
+            hilbert.xy_to_d(jnp.asarray(x), jnp.asarray(y), order)
+        )
+        np.testing.assert_array_equal(a, b.astype(np.uint64))
+
+    def test_mbd_matches_wavefront(self):
+        rng = np.random.default_rng(1)
+        img = rng.uniform(0, 1, (20, 25)).astype(np.float32)
+        a = native.mbd(img)
+        b = np.asarray(S.mbd(jnp.asarray(img)))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_oracle_dither_grey_mix(self):
+        pal = np.array([[0, 0, 0], [1, 1, 1]], np.float64)
+        img = np.full((4096, 3), 0.4)
+        cw = np.array([D.R_WEIGHT, D.G_WEIGHT, D.B_WEIGHT])
+        out = native.riemersma_dither(img, 64, 64, pal, cw)
+        assert 0.25 < out.mean() < 0.55
+
+    def test_tpu_dither_quality_parity_with_oracle(self):
+        """TPU segmented dither must match the exact serial reference-
+        semantics oracle in *quality* (mean luminance error), not bits."""
+        rng = np.random.default_rng(2)
+        img = rng.uniform(0, 1, (64 * 64, 3))
+        pal = rng.uniform(0, 1, (16, 3))
+        cw = np.array([D.R_WEIGHT, D.G_WEIGHT, D.B_WEIGHT])
+
+        out_oracle = native.riemersma_dither(img, 64, 64, pal, cw)
+        out_tpu = np.asarray(D._dither_stream(
+            jnp.asarray(img, jnp.float32), jnp.asarray(pal, jnp.float32),
+            jnp.ones(16, bool), 64, 64, 1024,
+        ))
+
+        def lum_err(out):
+            recon = pal[out]
+            return np.abs(((img - recon) * cw).sum(-1)).mean()
+
+        e_o, e_t = lum_err(out_oracle), lum_err(out_tpu)
+        assert e_t < e_o * 1.15  # within 15% of exact-serial quality

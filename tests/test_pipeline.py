@@ -1,0 +1,180 @@
+"""End-to-end quantize() tests: API parity, quality, properties."""
+
+import numpy as np
+import pytest
+
+import patolette_tpu as pt
+
+
+def _posterized_image(w=64, h=64, k=5, seed=0):
+    """Image with k exact colors => a k-palette must reproduce it."""
+    rng = np.random.default_rng(seed)
+    palette = rng.uniform(0.05, 0.95, size=(k, 3))
+    idx = rng.integers(0, k, size=(h * w))
+    return palette[idx], palette, idx
+
+
+def _natural_image(w=96, h=64, seed=1):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = np.stack(
+        [
+            0.5 + 0.45 * np.sin(xx / 9.0) * np.cos(yy / 13.0),
+            0.5 + 0.45 * np.cos(xx / 17.0),
+            np.clip(yy / h + 0.08 * rng.standard_normal((h, w)), 0, 1),
+        ],
+        axis=-1,
+    )
+    return np.clip(img, 0, 1).reshape(-1, 3)
+
+
+def _mse_luv(colors_srgb, palette_srgb, pmap):
+    from patolette_tpu.ops import colorspace as cs
+
+    a = np.asarray(cs.srgb_to_cieluv(colors_srgb))
+    b = np.asarray(cs.srgb_to_cieluv(palette_srgb))[pmap]
+    return float(((a - b) ** 2).sum(-1).mean())
+
+
+class TestValidation:
+    def test_bad_channels(self):
+        ok, _, _, msg = pt.quantize(2, 2, np.zeros((4, 4)), 4)
+        assert not ok and "Channel count" in msg
+
+    def test_count_mismatch(self):
+        ok, _, _, msg = pt.quantize(2, 2, np.zeros((5, 3)), 4)
+        assert not ok and "doesn't match" in msg
+
+    def test_bad_dims(self):
+        ok, _, _, msg = pt.quantize(0, 2, np.zeros((0, 3)), 4)
+        assert not ok and "greater than 0" in msg
+
+    def test_bad_palette(self):
+        ok, _, _, msg = pt.quantize(2, 2, np.zeros((4, 3)), 0)
+        assert not ok and "Palette size" in msg
+
+    def test_bad_tile_size(self):
+        ok, _, _, msg = pt.quantize(
+            2, 2, np.zeros((4, 3)), 2, tile_size=-1.0
+        )
+        assert not ok and "tile_size" in msg
+
+
+class TestExactRecovery:
+    @pytest.mark.parametrize("space", [
+        pt.ColorSpace_sRGB, pt.ColorSpace_CIELuv, pt.ColorSpace_ICtCp
+    ])
+    def test_posterized_all_spaces(self, space):
+        colors, true_pal, idx = _posterized_image(k=5)
+        ok, pal, pmap, msg = pt.quantize(
+            64, 64, colors, 8, dither=False, color_space=space,
+            tile_size=0, kmeans_niter=0,
+        )
+        assert ok, msg
+        # 5 used entries, 3 filled with -1
+        used = pal[pal[:, 0] >= 0]
+        assert len(used) == 5
+        # every true color recovered
+        for c in true_pal:
+            assert np.min(np.abs(used - c).sum(-1)) < 5e-3
+        # map reproduces the image
+        recon = pal[pmap]
+        np.testing.assert_allclose(recon, colors, atol=5e-3)
+
+    def test_palette_only(self):
+        colors, _, _ = _posterized_image()
+        ok, pal, pmap, _ = pt.quantize(
+            64, 64, colors, 8, palette_only=True, tile_size=0,
+            kmeans_niter=0, dither=False,
+        )
+        assert ok and pmap is None and pal.shape == (8, 3)
+
+    def test_unused_fill(self):
+        colors, _, _ = _posterized_image(k=3)
+        ok, pal, _, _ = pt.quantize(
+            64, 64, colors, 16, dither=False, tile_size=0, kmeans_niter=0
+        )
+        assert ok
+        assert np.all(pal[(pal[:, 0] < 0)] == -1.0)
+        assert (pal[:, 0] >= 0).sum() == 3
+
+
+class TestQuality:
+    def test_kmeans_improves_mse(self):
+        colors = _natural_image()
+        common = dict(dither=False, tile_size=0,
+                      color_space=pt.ColorSpace_CIELuv)
+        ok1, pal1, map1, _ = pt.quantize(96, 64, colors, 16,
+                                         kmeans_niter=0, **common)
+        ok2, pal2, map2, _ = pt.quantize(96, 64, colors, 16,
+                                         kmeans_niter=25, **common)
+        assert ok1 and ok2
+        m1 = _mse_luv(colors, np.clip(pal1, 0, 1), map1)
+        m2 = _mse_luv(colors, np.clip(pal2, 0, 1), map2)
+        assert m2 <= m1 * 1.05  # refinement should not hurt
+
+    def test_more_colors_less_error(self):
+        colors = _natural_image(seed=3)
+        common = dict(dither=False, tile_size=0, kmeans_niter=8)
+        _, pal8, map8, _ = pt.quantize(96, 64, colors, 8, **common)
+        _, pal64, map64, _ = pt.quantize(96, 64, colors, 64, **common)
+        m8 = _mse_luv(colors, np.clip(pal8, 0, 1), map8)
+        m64 = _mse_luv(colors, np.clip(pal64, 0, 1), map64)
+        assert m64 < m8
+
+    def test_weights_shift_palette(self):
+        """Upweighted region's colors gain palette share (SURVEY 4.4)."""
+        rng = np.random.default_rng(7)
+        a = np.clip(rng.normal(0.25, 0.05, (2048, 3)), 0, 1)
+        b = np.clip(rng.normal(0.75, 0.05, (2048, 3)), 0, 1)
+        colors = np.concatenate([a, b])
+        w = np.concatenate([np.full(2048, 50.0), np.ones(2048)])
+        common = dict(dither=False, tile_size=0, kmeans_niter=10,
+                      color_space=pt.ColorSpace_sRGB)
+        ok, pal_w, _, _ = pt.quantize(64, 64, colors, 8, weights=w, **common)
+        assert ok
+        used = pal_w[pal_w[:, 0] >= 0]
+        near_a = (np.abs(used - 0.25).mean(-1) < 0.15).sum()
+        near_b = (np.abs(used - 0.75).mean(-1) < 0.15).sum()
+        assert near_a > near_b
+
+
+class TestDitherPath:
+    def test_dither_runs_and_uses_palette(self):
+        colors = _natural_image()
+        ok, pal, pmap, _ = pt.quantize(
+            96, 64, colors, 16, dither=True, tile_size=0, kmeans_niter=4,
+        )
+        assert ok
+        assert pmap.shape == (96 * 64,)
+        used = np.unique(pmap)
+        assert np.all(pal[used][:, 0] >= 0)
+
+    def test_dither_mse_reasonable(self):
+        colors = _natural_image(seed=9)
+        common = dict(tile_size=0, kmeans_niter=8)
+        _, pal_n, map_n, _ = pt.quantize(96, 64, colors, 32,
+                                         dither=False, **common)
+        _, pal_d, map_d, _ = pt.quantize(96, 64, colors, 32,
+                                         dither=True, **common)
+        m_n = _mse_luv(colors, np.clip(pal_n, 0, 1), map_n)
+        m_d = _mse_luv(colors, np.clip(pal_d, 0, 1), map_d)
+        # dithering trades MSE for visual quality but must stay in the
+        # same ballpark
+        assert m_d < m_n * 6 + 10
+
+
+class TestSaliencyPath:
+    def test_saliency_default_runs(self):
+        colors = _natural_image()
+        ok, pal, pmap, _ = pt.quantize(
+            96, 64, colors, 8, dither=False, kmeans_niter=2
+        )
+        assert ok and pmap is not None
+
+    def test_tiny_image_skips_saliency(self):
+        colors = np.random.default_rng(0).uniform(0, 1, (6, 3))
+        ok, pal, pmap, _ = pt.quantize(
+            3, 2, colors, 2, dither=False, kmeans_niter=0
+        )
+        assert ok
