@@ -75,6 +75,20 @@ def _cell_cov(prefix, a, b, xp):
     return M.moments_cov(m)
 
 
+def _np_moments_cov(mom):
+    """Pure-numpy covariance from an (11,) moment tuple.
+
+    The host path must never touch jnp: in a TPU process every tiny jnp op
+    is a device round-trip (measured ~5 s per gq_host call through the
+    axon tunnel before this was numpy-only).
+    """
+    w0 = mom[0]
+    mu = mom[1:4] / w0
+    xx, xy, xz, yy, yz, zz = mom[5:11] / w0
+    second = np.array([[xx, xy, xz], [xy, yy, yz], [xz, yz, zz]])
+    return second - np.outer(mu, mu)
+
+
 def _cell_bias_host(prefix, a, b, global_axis):
     """|cos angle(cell principal axis, global axis)|, clamped to <= 1
     (reference cells.c:280-328). numpy f64."""
@@ -84,7 +98,7 @@ def _cell_bias_host(prefix, a, b, global_axis):
         # empty cell: zero covariance -> numpy eigh gives identity vectors
         cell_axis = np.array([0.0, 0.0, 1.0])
     else:
-        cov = np.asarray(M.moments_cov(mom[None, :]))[0]
+        cov = _np_moments_cov(mom)
         _, vecs = np.linalg.eigh(cov)
         cell_axis = vecs[:, 2]
     norms = np.linalg.norm(cell_axis) * np.linalg.norm(global_axis)
@@ -138,7 +152,7 @@ def gq_host(bucket_moments, palette_size):
 
     # Global principal axis from the total covariance (global.c:209 uses the
     # cache's full-range PCA; identical statistics).
-    total_cov = np.asarray(M.moments_cov(prefix[b][None, :]))[0]
+    total_cov = _np_moments_cov(prefix[b])
     _, vecs = np.linalg.eigh(total_cov)
     global_axis = vecs[:, 2]
 

@@ -24,8 +24,12 @@ Conscious divergences (SURVEY.md H4):
   * Q2: the reference accumulates weighted bucket masses into a ``size_t``
     array, truncating fractional weights per bucket (local.c:119,133); we
     keep float masses.
-  * degenerate clusters (flat projection) keep the reference's round-robin
-    bucket assignment via :func:`patolette_tpu.ops.moments.bucketize`.
+  * degenerate clusters (flat projection) use plain linear binning
+    (everything lands in bucket 0 => zero benefit => never split) instead
+    of the reference's round-robin fallback (sort.c:61-79). Round-robin is
+    only reachable for point-mass clusters whose split benefit is ~0, so
+    the greedy selection is unaffected, and dropping it removes an O(N)
+    prefix scan from every round (see ops.moments.bucketize_linear).
 
 Numerics: all cluster statistics are computed on colors shifted by the
 cluster's weighted mean (translation-invariant), so f32 accumulation holds
@@ -57,6 +61,10 @@ class LQState(NamedTuple):
     pmin: jnp.ndarray          # (P,) projection min at candidate time
     pmax: jnp.ndarray          # (P,) projection max at candidate time
     split_bucket: jnp.ndarray  # (P,) int32 optimal split bucket
+    mu_child: jnp.ndarray      # (P, 2, 3) cached means of the candidate's
+                               # left/right children (from the cumulative
+                               # bucket sums -- saves the mean pass when the
+                               # split is applied)
 
 
 def _psum(x, axis_name):
@@ -64,26 +72,36 @@ def _psum(x, axis_name):
 
 
 def _candidate(colors, w, labels, cid, bucket_count=BUCKET_COUNT,
-               axis_name=None):
+               axis_name=None, mu_known=None):
     """Candidate split of cluster ``cid``.
 
     Mirrors split_cluster + get_optimal_bucket_index + get_split_benefit
-    (reference local.c:102-275). Returns a tuple of per-cluster scalars
-    matching LQState fields (benefit, mu, axis, pmin, pmax, split_bucket).
+    (reference local.c:102-275). Returns a tuple of per-cluster values
+    matching LQState fields (benefit, mu, axis, pmin, pmax, split_bucket,
+    mu_child).
+
+    ``mu_known``: the cluster's weighted mean when already available (a
+    freshly-split child's mean comes free from the parent's cumulative
+    bucket sums) — skips the dedicated mean pass.
     """
     mask = labels == cid
     wm = jnp.where(mask, w, 0.0)
-    npix = _psum(jnp.sum(mask.astype(jnp.int32)), axis_name)
 
-    # Pass 1: weighted mean (cluster.c:171-189).
-    w0 = _psum(jnp.sum(wm), axis_name)
-    w0s = jnp.maximum(w0, _EPS)
-    mu = _psum(jnp.sum(wm[:, None] * colors, axis=0), axis_name) / w0s
+    if mu_known is None:
+        # Pass 1: weighted mean (cluster.c:171-189).
+        w0p = _psum(jnp.sum(wm), axis_name)
+        mu = _psum(jnp.sum(wm[:, None] * colors, axis=0), axis_name)
+        mu = mu / jnp.maximum(w0p, _EPS)
+    else:
+        mu = mu_known
 
     # Pass 2: central moments -> covariance, distortion, principal axis
-    # (cluster.c:111-152, 191-217; pca.c:62-149 weighted).
+    # (cluster.c:111-152, 191-217; pca.c:62-149 weighted). The moment tuple
+    # also yields w0; the raw pixel count rides the same fused pass.
     x = colors - mu
     mom = M.total_moments(x, weights=wm, axis_name=axis_name)
+    npix = _psum(jnp.sum(mask.astype(jnp.int32)), axis_name)
+    w0 = mom[M.IDX_W0]
     d = M.moments_distortion(mom)
     cov = M.moments_cov(mom)
     axis, _ = eigen3.principal_axis(cov)
@@ -97,8 +115,7 @@ def _candidate(colors, w, labels, cid, bucket_count=BUCKET_COUNT,
         pmax = jax.lax.pmax(pmax, axis_name)
     pmin = jnp.where(jnp.isfinite(pmin), pmin, 0.0)
     pmax = jnp.where(jnp.isfinite(pmax), pmax, 0.0)
-    buckets = M.bucketize(proj, bucket_count, pmin, pmax, mask=mask,
-                          axis_name=axis_name)
+    buckets = M.bucketize_linear(proj, bucket_count, pmin, pmax)
 
     # Pass 4: per-bucket weighted sums (local.c:119-146), shifted by mu.
     # The objective's argmax is invariant to the shift: substituting
@@ -148,7 +165,13 @@ def _candidate(colors, w, labels, cid, bucket_count=BUCKET_COUNT,
     benefit = jnp.maximum(d - (dl + dr), 0.0)
     # size <= 1 cannot be split (local.c:186-190); empty clusters neither.
     benefit = jnp.where((npix <= 1) | (w0 <= 0.0), 0.0, benefit)
-    return benefit, mu, axis, pmin, pmax, s
+
+    # Child means from the cumulative shifted sums (linearity of the
+    # weighted mean): free when this split is later applied.
+    mu_l = mu + csl[s] / jnp.maximum(sl[s], _EPS)
+    mu_r = mu + (cst - csl[s]) / jnp.maximum(sr[s], _EPS)
+    mu_child = jnp.stack([mu_l, mu_r])
+    return benefit, mu, axis, pmin, pmax, s, mu_child
 
 
 def lq_quantize(colors, weights, init_labels, k0, palette_size: int,
@@ -178,15 +201,23 @@ def lq_quantize(colors, weights, init_labels, k0, palette_size: int,
 
     # Batched candidate computation: one vmapped trace instead of 12 (or 2)
     # unrolled copies — keeps the compiled program small.
-    def cand_many(labels_arr, ids):
+    def cand_many(labels_arr, ids, mu_known=None):
+        if mu_known is None:
+            return jax.vmap(
+                lambda cid: _candidate(
+                    colors, w, labels_arr, cid, bucket_count,
+                    axis_name=axis_name,
+                )
+            )(ids)
         return jax.vmap(
-            lambda cid: _candidate(
-                colors, w, labels_arr, cid, bucket_count, axis_name=axis_name
+            lambda cid, mk: _candidate(
+                colors, w, labels_arr, cid, bucket_count,
+                axis_name=axis_name, mu_known=mk,
             )
-        )(ids)
+        )(ids, mu_known)
 
     ids0 = jnp.arange(max_k0, dtype=jnp.int32)
-    b0, mu0, ax0, pm0, px0, s0 = cand_many(init_labels, ids0)
+    b0, mu0, ax0, pm0, px0, s0, mc0 = cand_many(init_labels, ids0)
     live = ids0 < k0
     b0 = jnp.where(live, b0, 0.0)
 
@@ -204,6 +235,7 @@ def lq_quantize(colors, weights, init_labels, k0, palette_size: int,
         pmin=pad(pm0, (), dtype),
         pmax=pad(px0, (), dtype),
         split_bucket=pad(s0, (), jnp.int32),
+        mu_child=pad(mc0, (2, 3), dtype),
     )
 
     def round_body(_, st):
@@ -218,17 +250,18 @@ def lq_quantize(colors, weights, init_labels, k0, palette_size: int,
                 new_id = st.count
                 parent_mask = st.labels == c_star
                 proj = M.project(colors - st.mu[c_star], st.axis[c_star])
-                buckets = M.bucketize(
-                    proj, bucket_count, st.pmin[c_star], st.pmax[c_star],
-                    mask=parent_mask, axis_name=axis_name,
+                buckets = M.bucketize_linear(
+                    proj, bucket_count, st.pmin[c_star], st.pmax[c_star]
                 )
                 left = parent_mask & (buckets <= st.split_bucket[c_star])
                 labels = jnp.where(left, new_id, st.labels)
 
                 # Left child takes the NEW slot, right child keeps the old
-                # slot (local.c:372-379). Both candidates in one vmap.
-                bc, muc, axc, pminc, pmaxc, sc = cand_many(
-                    labels, jnp.stack([new_id, c_star])
+                # slot (local.c:372-379). Both candidates in one vmap; their
+                # means come free from the parent's cached bucket sums.
+                bc, muc, axc, pminc, pmaxc, sc, mcc = cand_many(
+                    labels, jnp.stack([new_id, c_star]),
+                    mu_known=st.mu_child[c_star],
                 )
 
                 def upd(arr, vals):
@@ -243,6 +276,7 @@ def lq_quantize(colors, weights, init_labels, k0, palette_size: int,
                     pmin=upd(st.pmin, pminc),
                     pmax=upd(st.pmax, pmaxc),
                     split_bucket=upd(st.split_bucket, sc),
+                    mu_child=upd(st.mu_child, mcc),
                 )
 
             return jax.lax.cond(best < DELTA, stop, split, st)

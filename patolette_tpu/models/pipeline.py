@@ -24,6 +24,7 @@ Conscious divergences from the reference (all documented in README):
 from __future__ import annotations
 
 import functools
+import time
 from typing import Optional
 
 import numpy as np
@@ -45,6 +46,24 @@ from patolette_tpu.utils.config import ColorSpace, QuantizeOptions
 def _log(verbose, msg):
     if verbose:
         print(f"patolette ======== {msg}", flush=True)
+
+
+class _StageTimer:
+    """Verbose-mode stage timing (SURVEY.md section 5: the reference only
+    prints stage banners; we add wall-clock per stage as parity signal)."""
+
+    def __init__(self, verbose):
+        self.verbose = verbose
+        self.t = time.perf_counter()
+
+    def lap(self, name):
+        if self.verbose:
+            now = time.perf_counter()
+            print(
+                f"patolette ======== [{name}] {1e3 * (now - self.t):.1f} ms",
+                flush=True,
+            )
+            self.t = now
 
 
 # --------------------------------------------------------------------------
@@ -158,7 +177,9 @@ def quantize(
 
     n = width * height
     p = int(palette_size)
+    timer = _StageTimer(verbose)
     x_srgb = jnp.asarray(colors, dtype=jnp.float32)
+    timer.lap("stage-in")
 
     # --- weights: explicit > saliency > none -----------------------------
     w_full = None
@@ -173,6 +194,7 @@ def quantize(
         )
         if w_full is not None:
             w_full = w_full.reshape(-1)
+        timer.lap("saliency")
 
     # --- colorspace staging ----------------------------------------------
     csp = int(color_space)
@@ -191,18 +213,23 @@ def quantize(
 
     # --- GQ: device moments, host f64 DP ---------------------------------
     buckets, bm = _gq_bucket_stage(x_lq)
-    cuts_np = GQ.gq_host(np.asarray(bm, np.float64), p)
+    bm_np = np.asarray(bm, np.float64)
+    timer.lap("gq-moments")
+    cuts_np = GQ.gq_host(bm_np, p)
     k0 = len(cuts_np) - 1
     cuts = jnp.asarray(
         np.pad(cuts_np, (0, GQ.MAX_K + 1 - len(cuts_np)),
                constant_values=GQ.BUCKET_COUNT).astype(np.int32)
     )
     _log(verbose, f"Base cluster count: {k0}")
+    timer.lap("gq-dp")
 
     # --- LQ ----------------------------------------------------------------
     labels, count, centers, valid = _lq_stage(
         x_lq, w_lq, buckets, cuts, jnp.int32(k0), p
     )
+    count = int(np.asarray(count))
+    timer.lap("lq")
 
     # --- KMeans refinement -------------------------------------------------
     if kmeans_niter > 0:
@@ -211,10 +238,11 @@ def quantize(
             x_work, w_full, centers, valid, p,
             int(kmeans_niter), int(kmeans_max_samples), int(seed),
         )
+        centers.block_until_ready()
+        timer.lap("kmeans")
 
     palette_work = centers
     valid_np = np.asarray(valid)
-    count = int(np.asarray(count))
 
     palette_map = None
     if not palette_only:
@@ -230,6 +258,7 @@ def quantize(
             _log(verbose, "NN mapping")
             palette_map = _nn_map_stage(x_work, palette_work, valid, csp)
         palette_map = np.asarray(palette_map, dtype=np.int32)
+        timer.lap("dither" if dither else "nn-map")
 
     # --- palette to sRGB + [-1] fill (patolette.c:328-336) -----------------
     pal_srgb = np.asarray(_palette_to_srgb(palette_work, csp), np.float64)

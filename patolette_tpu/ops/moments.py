@@ -38,6 +38,13 @@ IDX_WRS = slice(5, 11)
 
 _DEFAULT_CHUNK = 32768
 
+# A/B flag for the Pallas segment-matmul path (VMEM-resident one-hot);
+# single-op microbenchmarks are meaningless through the axon dispatch tunnel
+# (~30 ms RTT floor), so the comparison must run inside the LQ loop.
+import os
+
+_USE_PALLAS_SEGMENT = os.environ.get("PATOLETTE_PALLAS_SEGMENT", "0") == "1"
+
 
 def moment_features(colors, weights=None, shift=None):
     """Per-pixel moment features ``(N, 11)``.
@@ -106,6 +113,16 @@ def segment_matmul(feats, segment_ids, num_segments, chunk=_DEFAULT_CHUNK,
     if axis_name is not None:
         local = segment_matmul(feats, segment_ids, num_segments, chunk=chunk)
         return jax.lax.psum(local, axis_name)
+
+    if (
+        _USE_PALLAS_SEGMENT
+        and jax.default_backend() == "tpu"
+        and num_segments <= 1024
+        and feats.dtype == jnp.float32
+    ):
+        from patolette_tpu.ops.segment_pallas import segment_matmul_tpu
+
+        return segment_matmul_tpu(feats, segment_ids, num_segments)
     n, f = feats.shape
     if n <= chunk:
         onehot = jax.nn.one_hot(segment_ids, num_segments, dtype=feats.dtype)
@@ -206,6 +223,21 @@ def project(colors, axis):
     (reference sort.c:43-56 uses cblas_dgemv). Full f32 precision — bucket
     boundaries are sensitive to projection error."""
     return jnp.dot(colors, axis, precision="highest")
+
+
+def bucketize_linear(proj, n_buckets, pmin, pmax):
+    """Pure linear binning, no degenerate fallback (see :func:`bucketize`).
+
+    Used in the LQ hot loop: a degenerate cluster (flat projection) bins
+    everything into bucket 0, which yields a zero split benefit, so the
+    greedy splitter never selects it — the reference's round-robin fallback
+    (sort.c:61-79) is only reachable through paths where it cannot change
+    the result. Avoids an O(N) prefix scan per candidate.
+    """
+    span = pmax - pmin
+    scale = jnp.where(span > 0.0, 1.0 / jnp.where(span > 0.0, span, 1.0), 0.0)
+    ratio = (proj - pmin) * scale
+    return jnp.clip((ratio * n_buckets).astype(jnp.int32), 0, n_buckets - 1)
 
 
 def bucketize(proj, n_buckets, pmin, pmax, delta=1e-12, mask=None,
