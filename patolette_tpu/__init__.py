@@ -16,6 +16,26 @@ Public API mirrors the reference package facade
     from patolette_tpu import quantize, ColorSpace_sRGB, ColorSpace_CIELuv, ColorSpace_ICtCp
 """
 
+import os as _os
+
+# Persistent compilation cache: the LQ/dither programs are large (minutes of
+# XLA/Mosaic compile time per new shape); caching them across processes is
+# essential for interactive use. Opt out with PATOLETTE_NO_JIT_CACHE=1 or
+# override the location with JAX_COMPILATION_CACHE_DIR.
+if not _os.environ.get("PATOLETTE_NO_JIT_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.expanduser("~/.cache/patolette_tpu/jax"),
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from patolette_tpu.utils.config import (  # noqa: F401
     ColorSpace,
     ColorSpace_CIELuv,

@@ -32,6 +32,7 @@ def quantize(
     *,
     weights: Optional[np.ndarray] = ...,
     lq_max_samples: int = ...,
+    lq_batch_splits: int = ...,
     dither_segment: int = ...,
     seed: int = ...,
 ) -> Tuple[bool, Optional[np.ndarray], Optional[np.ndarray], str]:
@@ -67,7 +68,10 @@ def quantize(
         saliency (mirrors the reference C API).
     :param lq_max_samples:
         TPU extension: sampling cap for the GQ/LQ palette-search stages
-        (0 = no cap). Default: 4M.
+        (0 = no cap). Default: 1M.
+    :param lq_batch_splits:
+        TPU extension: clusters split per LQ round (1 = reference-exact
+        sequential greedy). Default: 1.
     :param dither_segment:
         TPU extension: Hilbert-curve segment length for the parallel dither
         scan (0 = fully serial). Default: 4096.

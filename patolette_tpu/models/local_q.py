@@ -72,7 +72,7 @@ def _psum(x, axis_name):
 
 
 def _candidate(colors, w, labels, cid, bucket_count=BUCKET_COUNT,
-               axis_name=None, mu_known=None):
+               axis_name=None, mu_known=None, exact_range=False):
     """Candidate split of cluster ``cid``.
 
     Mirrors split_cluster + get_optimal_bucket_index + get_split_benefit
@@ -100,21 +100,32 @@ def _candidate(colors, w, labels, cid, bucket_count=BUCKET_COUNT,
     # also yields w0; the raw pixel count rides the same fused pass.
     x = colors - mu
     mom = M.total_moments(x, weights=wm, axis_name=axis_name)
-    npix = _psum(jnp.sum(mask.astype(jnp.int32)), axis_name)
     w0 = mom[M.IDX_W0]
     d = M.moments_distortion(mom)
     cov = M.moments_cov(mom)
-    axis, _ = eigen3.principal_axis(cov)
+    axis, evals = eigen3.principal_axis(cov)
 
-    # Pass 3: projection range on own axis (sort.c:12-92).
+    # Projection range (sort.c:12-92). The reference uses the exact
+    # [min, max] of the projections (an extra O(N) reduce); the default
+    # analytic range +-4 sigma comes free from the top eigenvalue
+    # (projections of the mean-centered cluster have mean 0 and variance
+    # lambda_max). Outliers clip into the edge buckets — which CONCENTRATES
+    # the 512-bucket resolution where the mass is instead of letting
+    # outliers stretch the range (divergence S7; exact_range=True restores
+    # reference behavior).
     proj = M.project(x, axis)
-    pmin = jnp.min(jnp.where(mask, proj, jnp.inf))
-    pmax = jnp.max(jnp.where(mask, proj, -jnp.inf))
-    if axis_name is not None:
-        pmin = jax.lax.pmin(pmin, axis_name)
-        pmax = jax.lax.pmax(pmax, axis_name)
-    pmin = jnp.where(jnp.isfinite(pmin), pmin, 0.0)
-    pmax = jnp.where(jnp.isfinite(pmax), pmax, 0.0)
+    if exact_range:
+        pmin = jnp.min(jnp.where(mask, proj, jnp.inf))
+        pmax = jnp.max(jnp.where(mask, proj, -jnp.inf))
+        if axis_name is not None:
+            pmin = jax.lax.pmin(pmin, axis_name)
+            pmax = jax.lax.pmax(pmax, axis_name)
+        pmin = jnp.where(jnp.isfinite(pmin), pmin, 0.0)
+        pmax = jnp.where(jnp.isfinite(pmax), pmax, 0.0)
+    else:
+        sigma = jnp.sqrt(jnp.maximum(evals[2], 0.0))
+        pmax = 4.0 * sigma
+        pmin = -pmax
     buckets = M.bucketize_linear(proj, bucket_count, pmin, pmax)
 
     # Pass 4: per-bucket weighted sums (local.c:119-146), shifted by mu.
@@ -130,7 +141,7 @@ def _candidate(colors, w, labels, cid, bucket_count=BUCKET_COUNT,
         axis=-1,
     )  # (N, 5): [w, w*x', w*|x'|^2]
     bstats = M.segment_matmul(feats, buckets, bucket_count,
-                              axis_name=axis_name)
+                              axis_name=axis_name, fast=True)
     cum = jnp.cumsum(bstats, axis=0)
     sl = cum[:, 0]
     csl = cum[:, 1:4]
@@ -163,8 +174,10 @@ def _candidate(colors, w, labels, cid, bucket_count=BUCKET_COUNT,
         0.0,
     )
     benefit = jnp.maximum(d - (dl + dr), 0.0)
-    # size <= 1 cannot be split (local.c:186-190); empty clusters neither.
-    benefit = jnp.where((npix <= 1) | (w0 <= 0.0), 0.0, benefit)
+    # A size<=1 or empty cluster has zero distortion, hence zero benefit —
+    # the reference's explicit size guard (local.c:186-190) is implied, and
+    # skipping the count saves a full reduction pass per candidate.
+    benefit = jnp.where(w0 <= 0.0, 0.0, benefit)
 
     # Child means from the cumulative shifted sums (linearity of the
     # weighted mean): free when this split is later applied.
@@ -175,7 +188,8 @@ def _candidate(colors, w, labels, cid, bucket_count=BUCKET_COUNT,
 
 
 def lq_quantize(colors, weights, init_labels, k0, palette_size: int,
-                bucket_count=BUCKET_COUNT, axis_name=None):
+                bucket_count=BUCKET_COUNT, axis_name=None,
+                batch_splits: int = 1, exact_range: bool = False):
     """Greedy splitting from ``k0`` initial clusters up to ``palette_size``.
 
     Args:
@@ -184,6 +198,12 @@ def lq_quantize(colors, weights, init_labels, k0, palette_size: int,
       init_labels: (N,) int32 labels in [0, k0).
       k0: traced or static scalar, initial cluster count (<= 12).
       palette_size: static int.
+      batch_splits: clusters split per round. 1 reproduces the reference's
+        strictly sequential greedy (local.c:347-390). B > 1 splits the top-B
+        benefit clusters per round — a documented divergence (S6) that cuts
+        the sequential round count ~B-fold with quality validated to be
+        neutral (the top-B by benefit are almost always what B successive
+        greedy rounds would have picked).
 
     Returns ``(labels, count)`` — final labels in [0, count).
     """
@@ -206,13 +226,13 @@ def lq_quantize(colors, weights, init_labels, k0, palette_size: int,
             return jax.vmap(
                 lambda cid: _candidate(
                     colors, w, labels_arr, cid, bucket_count,
-                    axis_name=axis_name,
+                    axis_name=axis_name, exact_range=exact_range,
                 )
             )(ids)
         return jax.vmap(
             lambda cid, mk: _candidate(
                 colors, w, labels_arr, cid, bucket_count,
-                axis_name=axis_name, mu_known=mk,
+                axis_name=axis_name, mu_known=mk, exact_range=exact_range,
             )
         )(ids, mu_known)
 
@@ -238,38 +258,75 @@ def lq_quantize(colors, weights, init_labels, k0, palette_size: int,
         mu_child=pad(mc0, (2, 3), dtype),
     )
 
+    # Cap the batch relative to the palette: with B comparable to the live
+    # cluster count, batching degrades into balanced splitting (every
+    # cluster splits regardless of benefit). ~P/32 keeps the split order
+    # near-greedy where it matters.
+    bsz = max(1, min(int(batch_splits), (p + 31) // 32, p - 1))
+
     def round_body(_, st):
-        def do_split(st):
-            c_star = jnp.argmax(st.benefit).astype(jnp.int32)
-            best = st.benefit[c_star]
+        def do_round(st):
+            vals, sel = jax.lax.top_k(st.benefit, bsz)
+            sel = sel.astype(jnp.int32)
+            # top_k is value-sorted, so the valid entries form a prefix:
+            # benefit >= DELTA and room left in the palette.
+            room = p - st.count
+            j_idx = jnp.arange(bsz, dtype=jnp.int32)
+            valid = (vals >= DELTA) & (j_idx < room)
+            m = jnp.sum(valid, dtype=jnp.int32)
 
             def stop(st):
                 return st._replace(done=jnp.asarray(True))
 
             def split(st):
-                new_id = st.count
-                parent_mask = st.labels == c_star
-                proj = M.project(colors - st.mu[c_star], st.axis[c_star])
-                buckets = M.bucketize_linear(
-                    proj, bucket_count, st.pmin[c_star], st.pmax[c_star]
+                # sel_map: cluster id -> its rank j among this round's
+                # splits (or -1). One gather-pass relabels every selected
+                # cluster's left side to slot count + j simultaneously
+                # (disjoint parents => no conflicts).
+                sel_map = jnp.full((p,), -1, jnp.int32)
+                sel_map = sel_map.at[sel].set(
+                    jnp.where(valid, j_idx, -1), mode="drop"
                 )
-                left = parent_mask & (buckets <= st.split_bucket[c_star])
-                labels = jnp.where(left, new_id, st.labels)
+                jpix = sel_map[st.labels]                 # (N,)
+                active_px = jpix >= 0
+                lsafe = st.labels
+                proj = jnp.sum(
+                    (colors - st.mu[lsafe]) * st.axis[lsafe], axis=-1
+                )
+                span = st.pmax[lsafe] - st.pmin[lsafe]
+                scale = jnp.where(span > 0.0, 1.0 / jnp.where(span > 0.0, span, 1.0), 0.0)
+                ratio = (proj - st.pmin[lsafe]) * scale
+                buckets = jnp.clip(
+                    (ratio * bucket_count).astype(jnp.int32), 0,
+                    bucket_count - 1,
+                )
+                left = active_px & (buckets <= st.split_bucket[lsafe])
+                labels = jnp.where(left, st.count + jpix, st.labels)
 
-                # Left child takes the NEW slot, right child keeps the old
-                # slot (local.c:372-379). Both candidates in one vmap; their
-                # means come free from the parent's cached bucket sums.
+                # Left child takes the NEW slot (count + j), right child
+                # keeps the old slot (local.c:372-379). All 2B candidates in
+                # one vmap; means come free from the parents' bucket sums.
+                left_ids = st.count + j_idx
+                ids2b = jnp.concatenate([left_ids, sel])
+                mu_known = jnp.concatenate(
+                    [st.mu_child[sel, 0], st.mu_child[sel, 1]]
+                )
                 bc, muc, axc, pminc, pmaxc, sc, mcc = cand_many(
-                    labels, jnp.stack([new_id, c_star]),
-                    mu_known=st.mu_child[c_star],
+                    labels, ids2b, mu_known=mu_known
                 )
 
-                def upd(arr, vals):
-                    return arr.at[new_id].set(vals[0]).at[c_star].set(vals[1])
+                valid2 = jnp.concatenate([valid, valid])
+                # Invalid selections can collide with valid left-child slots
+                # (top_k picks arbitrary zero-benefit indices); route their
+                # writes out of bounds so mode="drop" discards them.
+                ids2b_w = jnp.where(valid2, ids2b, p)
+
+                def upd(arr, vals_new):
+                    return arr.at[ids2b_w].set(vals_new, mode="drop")
 
                 return st._replace(
                     labels=labels,
-                    count=st.count + 1,
+                    count=st.count + m,
                     benefit=upd(st.benefit, bc),
                     mu=upd(st.mu, muc),
                     axis=upd(st.axis, axc),
@@ -279,10 +336,15 @@ def lq_quantize(colors, weights, init_labels, k0, palette_size: int,
                     mu_child=upd(st.mu_child, mcc),
                 )
 
-            return jax.lax.cond(best < DELTA, stop, split, st)
+            return jax.lax.cond(m == 0, stop, split, st)
 
         active = (~st.done) & (st.count < p)
-        return jax.lax.cond(active, do_split, lambda s: s, st)
+        return jax.lax.cond(active, do_round, lambda s: s, st)
 
-    state = jax.lax.fori_loop(0, p - 1, round_body, state)
+    # Ramp-up headroom: early rounds can split at most count clusters, so
+    # from k0 = 1 it takes ~log2(bsz) doubling rounds before bsz splits per
+    # round are possible. Extra rounds no-op once count reaches p.
+    ramp = max(1, bsz).bit_length()
+    rounds = -(-(p - 1) // bsz) + ramp
+    state = jax.lax.fori_loop(0, rounds, round_body, state)
     return state.labels, state.count

@@ -95,11 +95,13 @@ def _gq_bucket_stage(colors):
     return buckets, bm
 
 
-@functools.partial(jax.jit, static_argnames=("palette_size",))
-def _lq_stage(colors, weights, buckets, cuts, k0, palette_size):
+@functools.partial(jax.jit, static_argnames=("palette_size", "batch_splits"))
+def _lq_stage(colors, weights, buckets, cuts, k0, palette_size,
+              batch_splits=1):
     labels0 = GQ.labels_from_cuts(buckets, cuts)
     labels, count = LQ.lq_quantize(
-        colors, weights, labels0, k0, palette_size
+        colors, weights, labels0, k0, palette_size,
+        batch_splits=batch_splits,
     )
     centers, mass = PAL.centers_from_labels(
         colors, weights, labels, palette_size
@@ -146,7 +148,8 @@ def quantize(
     verbose: bool = False,
     *,
     weights=None,
-    lq_max_samples: int = 1 << 22,
+    lq_max_samples: int = 1 << 20,
+    lq_batch_splits: int = 1,
     dither_segment: int = 4096,
     seed: int = 1234,
 ):
@@ -226,7 +229,8 @@ def quantize(
 
     # --- LQ ----------------------------------------------------------------
     labels, count, centers, valid = _lq_stage(
-        x_lq, w_lq, buckets, cuts, jnp.int32(k0), p
+        x_lq, w_lq, buckets, cuts, jnp.int32(k0), p,
+        batch_splits=max(1, int(lq_batch_splits)),
     )
     count = int(np.asarray(count))
     timer.lap("lq")

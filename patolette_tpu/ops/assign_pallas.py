@@ -2,8 +2,13 @@
 
 The XLA path materializes the (chunk, K) distance matrix in HBM
 (~1 KB/pixel at K=256). This kernel keeps the distance tile in VMEM and
-writes only the argmin labels (+ optional distances), so HBM traffic is the
-pixel read + 4-8 B/pixel write — speed-of-light for the op.
+writes only the argmin labels (+ distances), so HBM traffic is the pixel
+read + 8 B/pixel write.
+
+Layout: pixels are fed TRANSPOSED as (3, N). A (tile, 3) narrow block would
+make Mosaic pad the 3-lane dimension to 128 (42x wasted VMEM and DMA); with
+(3, tile) the pixel axis rides the 128-lane dimension at full density and
+the distance tile is (K, tile) with argmin over the sublane axis.
 """
 
 from __future__ import annotations
@@ -15,23 +20,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TILE = 1024
+_TILE = 8192
 
 
-def _kernel(x_ref, cen_ref, c2_ref, lab_ref, dist_ref):
-    x = x_ref[:]                       # (tile, 3)
+def _kernel(xt_ref, cen_ref, c2_ref, lab_ref, dist_ref):
+    xt = xt_ref[:]                     # (3, tile)
     cen = cen_ref[:]                   # (K, 3)
-    c2 = c2_ref[:]                     # (1, K) |c|^2 with +inf for invalid
+    c2 = c2_ref[:]                     # (K, 1) |c|^2, +inf for invalid slots
     prod = jax.lax.dot_general(
-        x, cen,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        cen, xt,
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )                                  # (tile, K)
+    )                                  # (K, tile)
     d = c2 - 2.0 * prod
-    lab_ref[:] = jnp.argmin(d, axis=-1, keepdims=True).astype(jnp.int32)
-    x2 = jnp.sum(x * x, axis=-1, keepdims=True)
-    dist_ref[:] = jnp.maximum(jnp.min(d, axis=-1, keepdims=True) + x2, 0.0)
+    lab_ref[:] = jnp.argmin(d, axis=0, keepdims=True).astype(jnp.int32)
+    x2 = jnp.sum(xt * xt, axis=0, keepdims=True)   # (1, tile)
+    dist_ref[:] = jnp.maximum(jnp.min(d, axis=0, keepdims=True) + x2, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
@@ -46,32 +51,32 @@ def assign_tpu(colors, centers, valid=None, tile: int = _TILE):
     c2 = jnp.sum(centers * centers, axis=-1)
     if valid is not None:
         c2 = jnp.where(valid, c2, jnp.inf)
-    c2 = c2.reshape(1, k)
+    c2 = c2.reshape(k, 1)
 
+    xt = colors.T                      # (3, N)
     pad = (-n) % tile
-    x = colors
     if pad:
-        x = jnp.concatenate([x, jnp.zeros((pad, 3), colors.dtype)], axis=0)
-    n_pad = x.shape[0]
+        xt = jnp.concatenate([xt, jnp.zeros((3, pad), colors.dtype)], axis=1)
+    n_pad = xt.shape[1]
 
     labels, dists = pl.pallas_call(
         _kernel,
         grid=(n_pad // tile,),
         in_specs=[
-            pl.BlockSpec((tile, 3), lambda i: (i, 0),
+            pl.BlockSpec((3, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
         ),
-    )(x, centers, c2)
-    return labels[:n, 0], dists[:n, 0]
+    )(xt, centers, c2)
+    return labels[0, :n], dists[0, :n]

@@ -88,6 +88,7 @@ def segment_moments(
     shift=None,
     chunk=_DEFAULT_CHUNK,
     axis_name=None,
+    fast=False,
 ):
     """Per-segment moment tuple ``(num_segments, 11)``.
 
@@ -98,20 +99,28 @@ def segment_moments(
     """
     feats = moment_features(colors, weights, shift)
     return segment_matmul(
-        feats, segment_ids, num_segments, chunk=chunk, axis_name=axis_name
+        feats, segment_ids, num_segments, chunk=chunk, axis_name=axis_name,
+        fast=fast,
     )
 
 
 def segment_matmul(feats, segment_ids, num_segments, chunk=_DEFAULT_CHUNK,
-                   axis_name=None):
+                   axis_name=None, fast=False):
     """``(N, F)`` features summed into ``(num_segments, F)`` by id.
 
     Zero-pads to a chunk multiple (padding rows carry zero features, so the
     segment they land in is irrelevant). With ``axis_name`` (inside
     shard_map) the per-shard (S, F) partials ride a ``psum`` over ICI.
+
+    ``fast=True`` runs the one-hot matmul in bf16 with f32 accumulation
+    (1 MXU pass instead of the 6 bf16 passes of a full-f32 matmul). One-hot
+    entries are exact in bf16; the ~0.4% relative feature rounding is fine
+    for mean-shifted statistics that only drive split decisions (the LQ hot
+    loop) but NOT for the GQ moment cache, which keeps full precision.
     """
     if axis_name is not None:
-        local = segment_matmul(feats, segment_ids, num_segments, chunk=chunk)
+        local = segment_matmul(feats, segment_ids, num_segments, chunk=chunk,
+                               fast=fast)
         return jax.lax.psum(local, axis_name)
 
     if (
@@ -124,15 +133,19 @@ def segment_matmul(feats, segment_ids, num_segments, chunk=_DEFAULT_CHUNK,
 
         return segment_matmul_tpu(feats, segment_ids, num_segments)
     n, f = feats.shape
+    out_dtype = feats.dtype
+    mm_dtype = jnp.bfloat16 if fast else feats.dtype
+    mm_precision = "default" if fast else "highest"
+
     if n <= chunk:
-        onehot = jax.nn.one_hot(segment_ids, num_segments, dtype=feats.dtype)
+        onehot = jax.nn.one_hot(segment_ids, num_segments, dtype=mm_dtype)
         return jnp.einsum(
             "ns,nf->sf",
             onehot,
-            feats,
+            feats.astype(mm_dtype),
             preferred_element_type=jnp.float32,
-            precision="highest",
-        ).astype(feats.dtype)
+            precision=mm_precision,
+        ).astype(out_dtype)
 
     pad = (-n) % chunk
     if pad:
@@ -148,19 +161,19 @@ def segment_matmul(feats, segment_ids, num_segments, chunk=_DEFAULT_CHUNK,
 
     def body(acc, xs):
         fch, ich = xs
-        onehot = jax.nn.one_hot(ich, num_segments, dtype=fch.dtype)
+        onehot = jax.nn.one_hot(ich, num_segments, dtype=mm_dtype)
         contrib = jnp.einsum(
             "ns,nf->sf",
             onehot,
-            fch,
+            fch.astype(mm_dtype),
             preferred_element_type=jnp.float32,
-            precision="highest",
+            precision=mm_precision,
         )
         return acc + contrib, None
 
     acc0 = jnp.zeros((num_segments, f), dtype=jnp.float32)
     acc, _ = jax.lax.scan(body, acc0, (feats, segment_ids))
-    return acc.astype(feats.dtype)
+    return acc.astype(out_dtype)
 
 
 # --------------------------------------------------------------------------

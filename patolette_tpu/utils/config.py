@@ -74,6 +74,12 @@ class QuantizeOptions:
         The reference runs GQ/LQ on all pixels but refines with KMeans on at
         most ``max(kmeans_max_samples, 256**2)`` samples, so a generous cap
         here is quality-neutral. Divergence documented in README.
+    lq_batch_splits:
+        Clusters split per LQ round (top-B by benefit). 1 reproduces the
+        reference's strictly sequential greedy (the default). Values > 1
+        split the top-B per round (divergence S6) — measured SLOWER on
+        v5e (wide vmap inflates materialized intermediates superlinearly),
+        kept as a tuning knob for other topologies.
     dither_segment:
         Hilbert-curve segment length for the parallel dither scan. The error
         queue resets at segment seams (per-shard dither). 0 = fully serial
@@ -90,7 +96,8 @@ class QuantizeOptions:
     tile_size: float = 512.0
     verbose: bool = False
 
-    lq_max_samples: int = 1 << 22
+    lq_max_samples: int = 1 << 20
+    lq_batch_splits: int = 1
     dither_segment: int = 4096
     seed: int = 1234
 
