@@ -152,6 +152,7 @@ def quantize(
     lq_batch_splits: int = 1,
     dither_segment: int = 4096,
     seed: int = 1234,
+    mesh=None,
 ):
     """Quantize an image to ``palette_size`` colors.
 
@@ -164,6 +165,12 @@ def quantize(
     Extra keyword-only args are TPU-native extensions: explicit ``weights``
     (bypasses saliency, like the reference C API), sampling caps and the
     dither segmentation (see :class:`QuantizeOptions`).
+
+    ``mesh``: a 1-D ``jax.sharding.Mesh`` — runs the palette search as the
+    fully-jitted shard_map pipeline (psum'd moments over ICI/DCN, device
+    GQ DP) with pixels row-sharded, and dithering per row strip. Requires
+    ``width*height`` divisible by the mesh size (and ``height`` for the
+    dither path); falls back to single-device otherwise.
     """
     colors = np.asarray(colors)
     if colors.ndim != 2 or colors.shape[1] != 3:
@@ -181,6 +188,27 @@ def quantize(
     n = width * height
     p = int(palette_size)
     timer = _StageTimer(verbose)
+
+    n_shards = 0
+    if mesh is not None:
+        n_shards = int(np.prod(mesh.devices.shape))
+        if n % n_shards != 0 or (dither and not palette_only
+                                 and height % n_shards != 0):
+            _log(verbose, "mesh given but shapes not divisible; "
+                          "running single-device")
+            mesh = None
+            n_shards = 0
+
+    if mesh is not None:
+        return _quantize_sharded(
+            width, height, colors, p, mesh, n_shards,
+            dither=dither, palette_only=palette_only, color_space=color_space,
+            tile_size=tile_size, kmeans_niter=kmeans_niter,
+            kmeans_max_samples=kmeans_max_samples, verbose=verbose,
+            weights=weights, dither_segment=dither_segment, seed=seed,
+            timer=timer,
+        )
+
     x_srgb = jnp.asarray(colors, dtype=jnp.float32)
     timer.lap("stage-in")
 
@@ -333,3 +361,69 @@ def _gq_bucket_stage_inline(colors, axis_name=None):
         colors, buckets, GQ.BUCKET_COUNT, shift=mean, axis_name=axis_name
     )
     return buckets, bm
+
+
+def _quantize_sharded(width, height, colors, p, mesh, n_shards, *, dither,
+                      palette_only, color_space, tile_size, kmeans_niter,
+                      kmeans_max_samples, verbose, weights, dither_segment,
+                      seed, timer):
+    """Multi-device path: shard_map palette pipeline + per-strip dither.
+
+    The palette search runs the fully-jitted device pipeline (device-side
+    f32 GQ DP instead of the host f64 stage) with every moment reduction
+    psum'd over the mesh (SURVEY.md section 2.3).
+    """
+    from patolette_tpu.parallel import mesh as PM
+
+    csp = int(color_space)
+    x_srgb = PM.shard_pixels(jnp.asarray(colors, dtype=jnp.float32), mesh)
+
+    w_full = None
+    if weights is not None:
+        w_full = jnp.asarray(np.asarray(weights), dtype=jnp.float32)
+    elif tile_size > 0:
+        _log(verbose, "Generating saliency map")
+        from patolette_tpu.models import saliency as SAL
+
+        w_full = SAL.get_weights(
+            jnp.asarray(colors, dtype=jnp.float32).reshape(height, width, 3),
+            float(tile_size),
+        )
+        if w_full is not None:
+            w_full = w_full.reshape(-1)
+    if w_full is None:
+        w_full = jnp.ones((width * height,), jnp.float32)
+    w_full = PM.shard_pixels(w_full, mesh)
+    timer.lap("stage-in+saliency")
+
+    _log(verbose, "Palette generation (sharded)")
+    fn = PM.quantize_palette_sharded(
+        mesh, p, color_space=csp, kmeans_niter=int(kmeans_niter),
+        kmeans_max_samples=int(kmeans_max_samples), seed=int(seed),
+    )
+    palette_work, valid, pmap = fn(x_srgb, w_full)
+    valid_np = np.asarray(valid)
+    timer.lap("palette (sharded)")
+
+    palette_map = None
+    if not palette_only:
+        if dither:
+            _log(verbose, "Dithering (per-strip)")
+            x_work = PM.shard_pixels(
+                _to_working(x_srgb, csp), mesh
+            )
+            dfn = PM.dither_sharded(
+                mesh, width, height, csp, segment=int(dither_segment)
+            )
+            palette_map = dfn(x_work, palette_work, valid)
+        else:
+            palette_map = pmap
+        palette_map = np.asarray(palette_map, dtype=np.int32)
+        timer.lap("map")
+
+    pal_srgb = np.asarray(_palette_to_srgb(palette_work, csp), np.float64)
+    palette = np.full((p, 3), -1.0)
+    palette[valid_np] = pal_srgb[valid_np]
+    return True, palette, palette_map, errors.exit_code_message(
+        errors.ExitCode.SUCCESS
+    )
