@@ -45,12 +45,13 @@ from patolette_tpu.utils.config import (  # noqa: F401
     default_options,
 )
 from patolette_tpu.utils.errors import ExitCode, exit_code_message  # noqa: F401
-from patolette_tpu.models.pipeline import quantize  # noqa: F401
+from patolette_tpu.models.pipeline import quantize, quantize_options  # noqa: F401
 
 __version__ = "0.1.0"
 
 __all__ = [
     "quantize",
+    "quantize_options",
     "ColorSpace",
     "ColorSpace_sRGB",
     "ColorSpace_CIELuv",

@@ -363,6 +363,34 @@ def _gq_bucket_stage_inline(colors, axis_name=None):
     return buckets, bm
 
 
+def quantize_options(width, height, colors, palette_size,
+                     options=None, **overrides):
+    """Options-object variant of :func:`quantize`.
+
+    ``options``: a :class:`patolette_tpu.QuantizeOptions`; keyword
+    ``overrides`` take precedence. Mirrors the reference C API shape
+    (patolette() takes an options struct, patolette.h:13-20).
+    """
+    from patolette_tpu.utils.config import QuantizeOptions
+
+    opts = options or QuantizeOptions()
+    kw = dict(
+        dither=opts.dither,
+        palette_only=opts.palette_only,
+        color_space=opts.color_space,
+        tile_size=opts.tile_size,
+        kmeans_niter=opts.kmeans_niter,
+        kmeans_max_samples=opts.kmeans_max_samples,
+        verbose=opts.verbose,
+        lq_max_samples=opts.lq_max_samples,
+        lq_batch_splits=opts.lq_batch_splits,
+        dither_segment=opts.dither_segment,
+        seed=opts.seed,
+    )
+    kw.update(overrides)
+    return quantize(width, height, colors, palette_size, **kw)
+
+
 def _quantize_sharded(width, height, colors, p, mesh, n_shards, *, dither,
                       palette_only, color_space, tile_size, kmeans_niter,
                       kmeans_max_samples, verbose, weights, dither_segment,
