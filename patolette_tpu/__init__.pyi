@@ -68,7 +68,7 @@ def quantize(
         saliency (mirrors the reference C API).
     :param lq_max_samples:
         TPU extension: sampling cap for the GQ/LQ palette-search stages
-        (0 = no cap). Default: 1M.
+        (0 = no cap). Default: 262144.
     :param lq_batch_splits:
         TPU extension: clusters split per LQ round (1 = reference-exact
         sequential greedy). Default: 1.

@@ -140,8 +140,12 @@ def _candidate(colors, w, labels, cid, bucket_count=BUCKET_COUNT,
         ],
         axis=-1,
     )  # (N, 5): [w, w*x', w*|x'|^2]
+    # chunk >= default sample size: the single-einsum path avoids nesting a
+    # scan inside the (vmap in cond in fori) loop body — significantly
+    # smaller XLA graph and compile time.
     bstats = M.segment_matmul(feats, buckets, bucket_count,
-                              axis_name=axis_name, fast=True)
+                              axis_name=axis_name, fast=True,
+                              chunk=1 << 18)
     cum = jnp.cumsum(bstats, axis=0)
     sl = cum[:, 0]
     csl = cum[:, 1:4]

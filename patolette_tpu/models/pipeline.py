@@ -148,7 +148,7 @@ def quantize(
     verbose: bool = False,
     *,
     weights=None,
-    lq_max_samples: int = 1 << 20,
+    lq_max_samples: int = 1 << 18,
     lq_batch_splits: int = 1,
     dither_segment: int = 4096,
     seed: int = 1234,

@@ -96,7 +96,7 @@ class QuantizeOptions:
     tile_size: float = 512.0
     verbose: bool = False
 
-    lq_max_samples: int = 1 << 20
+    lq_max_samples: int = 1 << 18
     lq_batch_splits: int = 1
     dither_segment: int = 4096
     seed: int = 1234
