@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Full BASELINE-config benchmark suite (SURVEY.md §7 stage 10).
+
+Runs the five driver configs (BASELINE.md) on the available hardware and
+prints one JSON object per config: wall time, MP/s, and the CIELuv MSE of
+the delivered mapping. ``bench.py`` stays the single-line headline bench;
+this suite is the broad table.
+
+Usage: python bench_suite.py [--quick]   (--quick shrinks images 4x)
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def synth_image(w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            0.5 + 0.45 * np.sin(xx / 97.0) * np.cos(yy / 131.0),
+            0.5 + 0.45 * np.cos(xx / 177.0 + yy / 211.0),
+            np.clip(yy / h + 0.05 * rng.standard_normal((h, w)), 0, 1),
+        ],
+        axis=-1,
+    )
+    return np.clip(img, 0, 1).reshape(-1, 3).astype(np.float32)
+
+
+def mse_luv(colors, palette, pmap):
+    from patolette_tpu.ops import colorspace as cs
+
+    a = np.asarray(cs.srgb_to_cieluv(colors))
+    b = np.asarray(cs.srgb_to_cieluv(np.clip(palette, 0, 1)))[pmap]
+    return float(((a - b) ** 2).sum(-1).mean())
+
+
+def run_config(name, w, h, palette, reps=2, **kw):
+    import patolette_tpu as pt
+
+    colors = synth_image(w, h)
+
+    def once():
+        ok, pal, pmap, msg = pt.quantize(w, h, colors, palette, **kw)
+        assert ok, msg
+        return pal, pmap
+
+    pal, pmap = once()  # warm-up/compile
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        pal, pmap = once()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    rec = {
+        "config": name,
+        "pixels": w * h,
+        "palette": palette,
+        "wall_s": round(best, 3),
+        "mp_per_s": round(w * h / 1e6 / best, 3),
+        "mse_luv": round(mse_luv(colors, pal, pmap), 3)
+        if pmap is not None
+        else None,
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    quick = "--quick" in sys.argv
+    s = 4 if quick else 1
+
+    # Config 1: 512x512 -> 256 colors, CIELuv, no dither, no KMeans
+    run_config(
+        "1_512_cieluv_plain", 512 // s, 512 // s, 256,
+        dither=False, tile_size=0, kmeans_niter=0, color_space=1,
+    )
+    # Config 2: 4K -> 256 colors, ICtCp + saliency
+    run_config(
+        "2_4k_ictcp_saliency", 3840 // s, 2160 // s, 256,
+        dither=False, tile_size=512, kmeans_niter=0, color_space=2,
+    )
+    # Config 3: 4K + 25-iter KMeans
+    run_config(
+        "3_4k_kmeans25", 3840 // s, 2160 // s, 256,
+        dither=False, tile_size=0, kmeans_niter=25, color_space=2,
+    )
+    # Config 4: 4K + error-diffusion dither
+    run_config(
+        "4_4k_dither", 3840 // s, 2160 // s, 256,
+        dither=True, tile_size=0, kmeans_niter=25, color_space=2,
+    )
+    # Config 5: 100 MP (single-chip here; the sharded path is exercised on
+    # the virtual mesh in tests/test_quantize_mesh.py and dryrun_multichip)
+    run_config(
+        "5_100mp_kmeans", 10000 // s, 10000 // s, 256, reps=1,
+        dither=False, tile_size=0, kmeans_niter=25, color_space=2,
+    )
+
+
+if __name__ == "__main__":
+    main()
