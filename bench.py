@@ -1,13 +1,18 @@
 #!/usr/bin/env python
-"""Benchmark: 4K image -> 256-color palette + map (full pipeline) on one chip.
+"""Benchmark: the BASELINE north-star config on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Primary metric (BASELINE.md): megapixels/sec/chip at a 256-color palette.
-The reference publishes no machine-readable numbers (chart images only); the
-driver-supplied north star is 256-color quantization of a 100 MP image with
-KMeans refinement in < 1 s on one v5p host (~4 chips) => 25 MP/s/chip is the
-per-chip baseline this reports against.
+Config (BASELINE.md headline): 256-color quantization of a 100 MP image
+WITH 25-iteration weighted-KMeans refinement, ICtCp working space. The
+driver north star is < 1 s on one v5p host (~4 chips) => 25 MP/s/chip.
+
+The image enters as uint8 sRGB (the native format of real 8-bit images)
+and the palette map returns as int32; both directions ride the
+host<->device link at minimal width. Note: through the axon tunnel that
+link runs at ~45 MB/s each way, so end-to-end throughput here is
+transfer-bound — (3 + 1) bytes/pixel puts the tunnel-imposed ceiling near
+11 MP/s regardless of on-chip speed.
 """
 
 import json
@@ -17,13 +22,13 @@ import numpy as np
 
 BASELINE_MPS_PER_CHIP = 25.0
 
-WIDTH, HEIGHT = 3840, 2160
+WIDTH, HEIGHT = 10000, 10000
 PALETTE = 256
 KMEANS_ITERS = 25
-REPEATS = 3
+REPEATS = 2
 
 
-def synth_image(w, h, seed=0):
+def synth_image_u8(w, h, seed=0):
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:h, 0:w]
     img = np.stack(
@@ -34,13 +39,14 @@ def synth_image(w, h, seed=0):
         ],
         axis=-1,
     )
-    return np.clip(img, 0, 1).reshape(-1, 3).astype(np.float32)
+    img = np.clip(img, 0, 1).reshape(-1, 3)
+    return np.round(img * 255.0).astype(np.uint8)
 
 
 def main():
     import patolette_tpu as pt
 
-    colors = synth_image(WIDTH, HEIGHT)
+    colors = synth_image_u8(WIDTH, HEIGHT)
 
     def run():
         ok, pal, pmap, msg = pt.quantize(
@@ -61,7 +67,7 @@ def main():
     best = min(times)
     mps = (WIDTH * HEIGHT) / 1e6 / best
     print(json.dumps({
-        "metric": "megapixels_per_sec_per_chip_256color_4k_kmeans25",
+        "metric": "megapixels_per_sec_per_chip_256color_100mp_kmeans25",
         "value": round(mps, 3),
         "unit": "MP/s/chip",
         "vs_baseline": round(mps / BASELINE_MPS_PER_CHIP, 3),

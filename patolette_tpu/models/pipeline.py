@@ -72,7 +72,46 @@ class _StageTimer:
 
 @functools.partial(jax.jit, static_argnames=("color_space",))
 def _to_working(colors, color_space):
+    """sRGB -> working space; accepts f32 in [0,1] or uint8 in [0,255].
+
+    uint8 input is a TPU-native extension (the reference takes f64 in [0,1],
+    pyx:388-394): 8-bit images cross the host->device link at 1/4 the bytes
+    and are normalized on device, where the cast is free.
+    """
+    if colors.dtype == jnp.uint8:
+        colors = colors.astype(jnp.float32) * (1.0 / 255.0)
     return cs.srgb_to_working(colors, color_space)
+
+
+@jax.jit
+def _to_float_srgb(colors):
+    if colors.dtype == jnp.uint8:
+        return colors.astype(jnp.float32) * (1.0 / 255.0)
+    return colors
+
+
+@jax.jit
+def _pack_u8(x):
+    return x.astype(jnp.uint8)
+
+
+@jax.jit
+def _pack_u16(x):
+    return x.astype(jnp.uint16)
+
+
+def _pull_palette_map(pmap_dev, palette_size: int):
+    """Device->host palette map transfer at minimal width.
+
+    The public dtype is int32 (reference pyx:441-466); the wire format is
+    uint8/uint16 when the palette size allows — the device->host link is the
+    bottleneck for large images, and the host-side widening cast is free.
+    """
+    if palette_size <= 256:
+        return np.asarray(_pack_u8(pmap_dev)).astype(np.int32)
+    if palette_size <= 65536:
+        return np.asarray(_pack_u16(pmap_dev)).astype(np.int32)
+    return np.asarray(pmap_dev, dtype=np.int32)
 
 
 @jax.jit
@@ -149,7 +188,7 @@ def quantize(
     *,
     weights=None,
     lq_max_samples: int = 1 << 18,
-    lq_batch_splits: int = 1,
+    lq_batch_splits: int = 8,
     dither_segment: int = 4096,
     seed: int = 1234,
     mesh=None,
@@ -165,6 +204,10 @@ def quantize(
     Extra keyword-only args are TPU-native extensions: explicit ``weights``
     (bypasses saliency, like the reference C API), sampling caps and the
     dither segmentation (see :class:`QuantizeOptions`).
+
+    ``colors`` may be float in [0, 1] (reference convention) or uint8 in
+    [0, 255] — a TPU-native extension: 8-bit images cross the host->device
+    link at 1/4 the bytes and are normalized on device.
 
     ``mesh``: a 1-D ``jax.sharding.Mesh`` — runs the palette search as the
     fully-jitted shard_map pipeline (psum'd moments over ICI/DCN, device
@@ -209,7 +252,10 @@ def quantize(
             timer=timer,
         )
 
-    x_srgb = jnp.asarray(colors, dtype=jnp.float32)
+    if colors.dtype == np.uint8:
+        x_in = jnp.asarray(colors)  # 3 bytes/pixel over the wire
+    else:
+        x_in = jnp.asarray(colors, dtype=jnp.float32)
     timer.lap("stage-in")
 
     # --- weights: explicit > saliency > none -----------------------------
@@ -221,7 +267,7 @@ def quantize(
         from patolette_tpu.models import saliency as SAL
 
         w_full = SAL.get_weights(
-            x_srgb.reshape(height, width, 3), float(tile_size)
+            _to_float_srgb(x_in).reshape(height, width, 3), float(tile_size)
         )
         if w_full is not None:
             w_full = w_full.reshape(-1)
@@ -229,7 +275,7 @@ def quantize(
 
     # --- colorspace staging ----------------------------------------------
     csp = int(color_space)
-    x_work = _to_working(x_srgb, csp)
+    x_work = _to_working(x_in, csp)
 
     _log(verbose, "Palette generation")
 
@@ -289,7 +335,7 @@ def quantize(
         else:
             _log(verbose, "NN mapping")
             palette_map = _nn_map_stage(x_work, palette_work, valid, csp)
-        palette_map = np.asarray(palette_map, dtype=np.int32)
+        palette_map = _pull_palette_map(palette_map, p)
         timer.lap("dither" if dither else "nn-map")
 
     # --- palette to sRGB + [-1] fill (patolette.c:328-336) -----------------
@@ -309,7 +355,7 @@ def quantize(
 def palette_pipeline_device(colors, weights, palette_size: int,
                             color_space: int = 2, kmeans_niter: int = 0,
                             kmeans_max_samples: int = 512**2, seed: int = 1234,
-                            axis_name=None):
+                            axis_name=None, lq_batch_splits: int = 8):
     """End-to-end palette generation as one traced program.
 
     Device-side GQ DP (f32) instead of the host f64 path; used by
@@ -327,7 +373,8 @@ def palette_pipeline_device(colors, weights, palette_size: int,
     cuts, k0 = GQ.gq_device(bm, palette_size)
     labels0 = GQ.labels_from_cuts(buckets, cuts)
     labels, count = LQ.lq_quantize(
-        x, weights, labels0, k0, palette_size, axis_name=axis_name
+        x, weights, labels0, k0, palette_size, axis_name=axis_name,
+        batch_splits=max(1, int(lq_batch_splits)),
     )
     centers, mass = PAL.centers_from_labels(
         x, weights, labels, palette_size, axis_name=axis_name
@@ -404,6 +451,8 @@ def _quantize_sharded(width, height, colors, p, mesh, n_shards, *, dither,
     from patolette_tpu.parallel import mesh as PM
 
     csp = int(color_space)
+    if colors.dtype == np.uint8:
+        colors = colors.astype(np.float32) * (1.0 / 255.0)
     x_srgb = PM.shard_pixels(jnp.asarray(colors, dtype=jnp.float32), mesh)
 
     w_full = None
@@ -446,7 +495,7 @@ def _quantize_sharded(width, height, colors, p, mesh, n_shards, *, dither,
             palette_map = dfn(x_work, palette_work, valid)
         else:
             palette_map = pmap
-        palette_map = np.asarray(palette_map, dtype=np.int32)
+        palette_map = _pull_palette_map(palette_map, p)
         timer.lap("map")
 
     pal_srgb = np.asarray(_palette_to_srgb(palette_work, csp), np.float64)

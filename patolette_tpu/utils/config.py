@@ -76,10 +76,11 @@ class QuantizeOptions:
         here is quality-neutral. Divergence documented in README.
     lq_batch_splits:
         Clusters split per LQ round (top-B by benefit). 1 reproduces the
-        reference's strictly sequential greedy (the default). Values > 1
-        split the top-B per round (divergence S6) — measured SLOWER on
-        v5e (wide vmap inflates materialized intermediates superlinearly),
-        kept as a tuning knob for other topologies.
+        reference's strictly sequential greedy; the default 8 splits the
+        top-8 per round (divergence S6). LQ wall time is dominated by the
+        per-round overhead, so batching is ~4.5x faster at 256 colors on
+        v5e (625 ms vs 2828 ms) with quality validated neutral
+        (tests/test_lq_batch.py).
     dither_segment:
         Hilbert-curve segment length for the parallel dither scan. The error
         queue resets at segment seams (per-shard dither). 0 = fully serial
@@ -97,7 +98,7 @@ class QuantizeOptions:
     verbose: bool = False
 
     lq_max_samples: int = 1 << 18
-    lq_batch_splits: int = 1
+    lq_batch_splits: int = 8
     dither_segment: int = 4096
     seed: int = 1234
 

@@ -178,3 +178,37 @@ class TestSaliencyPath:
             3, 2, colors, 2, dither=False, kmeans_niter=0
         )
         assert ok
+
+
+class TestUint8Input:
+    """uint8 sRGB input (TPU-native extension: quarter-width transfers)."""
+
+    def test_uint8_matches_float(self):
+        colors_f = _natural_image(seed=4)
+        colors_u8 = np.round(colors_f * 255.0).astype(np.uint8)
+        common = dict(dither=False, tile_size=0, kmeans_niter=4)
+        ok_f, pal_f, map_f, _ = pt.quantize(
+            96, 64, colors_u8.astype(np.float64) / 255.0, 16, **common
+        )
+        ok_u, pal_u, map_u, _ = pt.quantize(96, 64, colors_u8, 16, **common)
+        assert ok_f and ok_u
+        assert map_u.dtype == np.int32
+        np.testing.assert_allclose(pal_u, pal_f, atol=1e-5)
+        assert np.mean(map_u == map_f) > 0.999
+
+    def test_uint8_saliency_and_dither(self):
+        colors_u8 = np.round(_natural_image(seed=5) * 255.0).astype(np.uint8)
+        ok, pal, pmap, _ = pt.quantize(
+            96, 64, colors_u8, 16, dither=True, kmeans_niter=2
+        )
+        assert ok and pmap is not None and pmap.dtype == np.int32
+        used = pal[:, 0] >= 0
+        assert np.all(np.isin(pmap, np.flatnonzero(used)))
+
+    def test_large_palette_map_dtype(self):
+        # palette > 256 exercises the uint16 wire path
+        colors = _natural_image(seed=6)
+        ok, pal, pmap, _ = pt.quantize(
+            96, 64, colors, 300, dither=False, tile_size=0, kmeans_niter=0
+        )
+        assert ok and pmap.dtype == np.int32 and pal.shape == (300, 3)
