@@ -28,18 +28,24 @@ KMEANS_ITERS = 25
 REPEATS = 2
 
 
-def synth_image_u8(w, h, seed=0):
+def synth_image_u8(w, h, seed=0, tile=1000):
+    """100 MP of f64 transcendentals takes ~20 min on this 2-vCPU host, so
+    the texture is synthesized on a small tile and tiled up, with a cheap
+    full-size vertical gradient + noise so the image is not k-colorable."""
     rng = np.random.default_rng(seed)
-    yy, xx = np.mgrid[0:h, 0:w]
-    img = np.stack(
+    yy, xx = np.mgrid[0:tile, 0:tile].astype(np.float32)
+    pat = np.stack(
         [
             0.5 + 0.45 * np.sin(xx / 97.0) * np.cos(yy / 131.0),
             0.5 + 0.45 * np.cos(xx / 177.0 + yy / 211.0),
-            np.clip(yy / h + 0.05 * rng.standard_normal((h, w)), 0, 1),
+            0.5 + 0.05 * rng.standard_normal((tile, tile)).astype(np.float32),
         ],
         axis=-1,
     )
-    img = np.clip(img, 0, 1).reshape(-1, 3)
+    reps_y, reps_x = -(-h // tile), -(-w // tile)
+    img = np.tile(pat, (reps_y, reps_x, 1))[:h, :w]
+    img[:, :, 2] += np.linspace(-0.45, 0.45, h, dtype=np.float32)[:, None]
+    img = np.clip(img, 0, 1, out=img).reshape(-1, 3)
     return np.round(img * 255.0).astype(np.uint8)
 
 

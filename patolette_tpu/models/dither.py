@@ -106,3 +106,75 @@ def riemersma_dither(colors_working, palette_working, valid, width, height,
     return _dither_stream(
         c2020, p2020, valid, int(width), int(height), int(segment)
     )
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "segment"))
+def _dither_stream_planar(ch2020, palette2020, valid, width, height,
+                          segment):
+    """Channel-planar segmented dither scan.
+
+    Same math as :func:`_dither_stream`, but pixels stay as three (N,)
+    channel vectors: streams are (lanes, seg) per channel, the error queue
+    is (QUEUE, lanes) per channel (queue depth in SUBLANES — the minor dim
+    is the lane axis), and the per-step distance matrix is built from
+    rank-1 channel broadcasts. No lane-padded (N, 3) intermediates.
+    """
+    n = width * height
+    dtype = ch2020[0].dtype
+    chan_w = (R_WEIGHT, G_WEIGHT, B_WEIGHT)
+    qw = _queue_weights(dtype)[:, None]  # (QUEUE, 1)
+
+    perm = hilbert.pixel_visit_order(width, height)
+
+    seg = int(segment) if segment else n
+    seg = max(1, min(seg, n))
+    lanes = -(-n // seg)
+    pad = lanes * seg - n
+
+    streams = []
+    for ch in ch2020:
+        s = jnp.take(ch, perm)
+        if pad:
+            s = jnp.concatenate([s, jnp.zeros((pad,), dtype)])
+        streams.append(s.reshape(lanes, seg))
+
+    pal_scaled = [palette2020[:, k] * chan_w[k] for k in range(3)]
+    ps2 = sum(p * p for p in pal_scaled)  # (K,)
+
+    def step(queues, px):
+        # queues: 3 x (QUEUE, lanes); px: 3 x (lanes,)
+        corrected = [
+            px[k] + jnp.sum(qw * queues[k], axis=0) for k in range(3)
+        ]
+        d = ps2[None, :] - 2.0 * sum(
+            (corrected[k] * chan_w[k])[:, None] * pal_scaled[k][None, :]
+            for k in range(3)
+        )
+        d = jnp.where(valid[None, :], d, jnp.inf)
+        idx = jnp.argmin(d, axis=-1).astype(jnp.int32)
+        new_queues = []
+        for k in range(3):
+            err = px[k] - jnp.take(palette2020[:, k], idx)
+            new_queues.append(
+                jnp.concatenate([queues[k][1:], err[None, :]], axis=0)
+            )
+        return tuple(new_queues), idx
+
+    queues0 = tuple(jnp.zeros((QUEUE, lanes), dtype) for _ in range(3))
+    xs = tuple(s.T for s in streams)  # (seg, lanes) each
+    _, idx_stream = jax.lax.scan(step, queues0, xs)  # (seg, lanes)
+    idx_flat = idx_stream.T.reshape(-1)[:n]
+
+    return jnp.zeros((n,), jnp.int32).at[perm].set(idx_flat)
+
+
+def riemersma_dither_planar(channels_working, palette_working, valid,
+                            width, height, color_space, segment=4096):
+    """Planar-channel variant of :func:`riemersma_dither`."""
+    ch2020 = cs.working_to_linear_rec2020(
+        tuple(channels_working), color_space
+    )
+    p2020 = cs.working_to_linear_rec2020(palette_working, color_space)
+    return _dither_stream_planar(
+        tuple(ch2020), p2020, valid, int(width), int(height), int(segment)
+    )

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from patolette_tpu.ops import colorspace as cs
 from patolette_tpu.ops import eigen3
 from patolette_tpu.ops import moments as M
-from patolette_tpu.ops.assign import assign
+from patolette_tpu.ops import wire
+from patolette_tpu.ops.assign import assign, assign_planar
 from patolette_tpu.models import global_q as GQ
 from patolette_tpu.models import local_q as LQ
 from patolette_tpu.models import kmeans as KM
@@ -72,46 +73,48 @@ class _StageTimer:
 
 @functools.partial(jax.jit, static_argnames=("color_space",))
 def _to_working(colors, color_space):
-    """sRGB -> working space; accepts f32 in [0,1] or uint8 in [0,255].
+    """sRGB -> working space; array form or channel-planar 3-tuple.
 
-    uint8 input is a TPU-native extension (the reference takes f64 in [0,1],
-    pyx:388-394): 8-bit images cross the host->device link at 1/4 the bytes
-    and are normalized on device, where the cast is free.
-    """
-    if colors.dtype == jnp.uint8:
+    Full images always take the planar form (TPU lane-pads the minor dim of
+    an (N, 3) array 42.7x — see ops/wire.py); arrays are for palettes and
+    subsamples."""
+    if not isinstance(colors, (tuple, list)) and colors.dtype == jnp.uint8:
         colors = colors.astype(jnp.float32) * (1.0 / 255.0)
     return cs.srgb_to_working(colors, color_space)
 
 
 @jax.jit
-def _to_float_srgb(colors):
-    if colors.dtype == jnp.uint8:
-        return colors.astype(jnp.float32) * (1.0 / 255.0)
-    return colors
+def _gather_stack(channels, idx):
+    """Planar channels -> interleaved (M, 3) subsample by index."""
+    return jnp.stack([jnp.take(ch, idx) for ch in channels], axis=-1)
 
 
-@jax.jit
-def _pack_u8(x):
-    return x.astype(jnp.uint8)
+@functools.partial(
+    jax.jit, static_argnames=("k", "niter", "cap", "seed")
+)
+def _kmeans_stage_planar(channels, weights, centers, valid, k, niter, cap,
+                         seed):
+    """KMeans refinement fed from planar channels: the deterministic
+    subsample gathers per channel (1-D gathers), so the only interleaved
+    array is the (cap, 3) sample set."""
+    n = channels[0].shape[0]
+    if n > cap:
+        key = jax.random.PRNGKey(seed)
+        idx = jax.random.randint(key, (cap,), 0, n)
+        samples = _gather_stack(channels, idx)
+        w = None if weights is None else jnp.take(weights, idx)
+    else:
+        samples = jnp.stack(channels, axis=-1)
+        w = weights
+    return KM.lloyd_iterations(samples, w, centers, valid, niter)
 
 
-@jax.jit
-def _pack_u16(x):
-    return x.astype(jnp.uint16)
-
-
-def _pull_palette_map(pmap_dev, palette_size: int):
-    """Device->host palette map transfer at minimal width.
-
-    The public dtype is int32 (reference pyx:441-466); the wire format is
-    uint8/uint16 when the palette size allows — the device->host link is the
-    bottleneck for large images, and the host-side widening cast is free.
-    """
-    if palette_size <= 256:
-        return np.asarray(_pack_u8(pmap_dev)).astype(np.int32)
-    if palette_size <= 65536:
-        return np.asarray(_pack_u16(pmap_dev)).astype(np.int32)
-    return np.asarray(pmap_dev, dtype=np.int32)
+@functools.partial(jax.jit, static_argnames=("color_space",))
+def _nn_map_stage_planar(channels_work, palette_working, valid, color_space):
+    """Planar NN mapping, always in ICtCp (patolette.c:140, quirk Q4)."""
+    xi = cs.working_to_ictcp(tuple(channels_work), color_space)
+    pi = cs.working_to_ictcp(palette_working, color_space)
+    return assign_planar(xi, pi, valid=valid)
 
 
 @jax.jit
@@ -147,21 +150,6 @@ def _lq_stage(colors, weights, buckets, cuts, k0, palette_size,
     )
     valid = (jnp.arange(palette_size) < count) & (mass > 0.0)
     return labels, count, centers, valid
-
-
-@functools.partial(jax.jit, static_argnames=("niter", "max_samples", "seed", "k"))
-def _kmeans_stage(colors, weights, centers, valid, k, niter, max_samples, seed):
-    return KM.refine_palette(
-        colors, weights, centers, valid, k, niter, max_samples, seed
-    )
-
-
-@functools.partial(jax.jit, static_argnames=("color_space",))
-def _nn_map_stage(colors_working, palette_working, valid, color_space):
-    """Plain NN mapping, always in ICtCp (patolette.c:140, quirk Q4)."""
-    xi = cs.working_to_ictcp(colors_working, color_space)
-    pi = cs.working_to_ictcp(palette_working, color_space)
-    return assign(xi, pi, valid=valid)
 
 
 @functools.partial(jax.jit, static_argnames=("color_space",))
@@ -252,22 +240,19 @@ def quantize(
             timer=timer,
         )
 
-    if colors.dtype == np.uint8:
-        x_in = jnp.asarray(colors)  # 3 bytes/pixel over the wire
-    else:
-        x_in = jnp.asarray(colors, dtype=jnp.float32)
+    xp_srgb = wire.put_planar_image(colors)  # 3 x (N,) f32, chunked wire
     timer.lap("stage-in")
 
     # --- weights: explicit > saliency > none -----------------------------
     w_full = None
     if weights is not None:
-        w_full = jnp.asarray(np.asarray(weights), dtype=jnp.float32)
+        w_full = wire.put_vector(weights)
     elif tile_size > 0:
         _log(verbose, "Generating saliency map")
         from patolette_tpu.models import saliency as SAL
 
-        w_full = SAL.get_weights(
-            _to_float_srgb(x_in).reshape(height, width, 3), float(tile_size)
+        w_full = SAL.get_weights_planar(
+            xp_srgb, height, width, float(tile_size)
         )
         if w_full is not None:
             w_full = w_full.reshape(-1)
@@ -275,18 +260,21 @@ def quantize(
 
     # --- colorspace staging ----------------------------------------------
     csp = int(color_space)
-    x_work = _to_working(x_in, csp)
+    xp_work = _to_working(xp_srgb, csp)
 
     _log(verbose, "Palette generation")
 
     # --- GQ/LQ subsample --------------------------------------------------
     if lq_max_samples and n > lq_max_samples:
         rng = np.random.default_rng(seed)
-        idx = jnp.asarray(rng.integers(0, n, size=lq_max_samples))
-        x_lq = jnp.take(x_work, idx, axis=0)
+        idx = jnp.asarray(
+            rng.integers(0, n, size=lq_max_samples, dtype=np.int32)
+        )
+        x_lq = _gather_stack(xp_work, idx)
         w_lq = None if w_full is None else jnp.take(w_full, idx, axis=0)
     else:
-        x_lq, w_lq = x_work, w_full
+        x_lq = jnp.stack(xp_work, axis=-1)
+        w_lq = w_full
 
     # --- GQ: device moments, host f64 DP ---------------------------------
     buckets, bm = _gq_bucket_stage(x_lq)
@@ -312,11 +300,11 @@ def quantize(
     # --- KMeans refinement -------------------------------------------------
     if kmeans_niter > 0:
         _log(verbose, "KMeans refinement")
-        centers = _kmeans_stage(
-            x_work, w_full, centers, valid, p,
-            int(kmeans_niter), int(kmeans_max_samples), int(seed),
+        centers = _kmeans_stage_planar(
+            xp_work, w_full, centers, valid, p,
+            int(kmeans_niter),
+            KM.subsample_cap(p, int(kmeans_max_samples)), int(seed),
         )
-        centers.block_until_ready()
         timer.lap("kmeans")
 
     palette_work = centers
@@ -328,14 +316,16 @@ def quantize(
             _log(verbose, "Dithering")
             from patolette_tpu.models import dither as DITH
 
-            palette_map = DITH.riemersma_dither(
-                x_work, palette_work, valid, width, height, csp,
+            palette_map = DITH.riemersma_dither_planar(
+                xp_work, palette_work, valid, width, height, csp,
                 segment=dither_segment,
             )
         else:
             _log(verbose, "NN mapping")
-            palette_map = _nn_map_stage(x_work, palette_work, valid, csp)
-        palette_map = _pull_palette_map(palette_map, p)
+            palette_map = _nn_map_stage_planar(
+                xp_work, palette_work, valid, csp
+            )
+        palette_map = wire.get_palette_map(palette_map, p)
         timer.lap("dither" if dither else "nn-map")
 
     # --- palette to sRGB + [-1] fill (patolette.c:328-336) -----------------
@@ -495,7 +485,7 @@ def _quantize_sharded(width, height, colors, p, mesh, n_shards, *, dither,
             palette_map = dfn(x_work, palette_work, valid)
         else:
             palette_map = pmap
-        palette_map = _pull_palette_map(palette_map, p)
+        palette_map = wire.get_palette_map(palette_map, p)
         timer.lap("map")
 
     pal_srgb = np.asarray(_palette_to_srgb(palette_work, csp), np.float64)

@@ -152,28 +152,45 @@ def mbd(img):
 
 def _border_prior(lab, border):
     """4 Mahalanobis border maps, each /max, combined sum - max
-    (pyx:215-288)."""
-    rows, cols = lab.shape[:2]
-    flat = lab.reshape(-1, 3)
+    (pyx:215-288).
 
-    strips = [
-        lab[0:border],                      # "left" (top rows, pyx:215)
-        lab[rows - border - 1:-1],          # "right" (bottom rows)
-        lab[:, 0:border],                   # "top" (left cols)
-        lab[:, cols - border - 1:-1],       # "bottom" (right cols)
-    ]
+    ``lab`` is channel-planar: a 3-tuple of (rows, cols) arrays. The
+    Mahalanobis form is expanded into its 6 unique quadratic terms on the
+    channel planes, so no lane-padded (N, 3) intermediate exists.
+    """
+    l0, l1, l2 = lab
+    rows, cols = l0.shape
+
+    def strip_view(ch):
+        return [
+            ch[0:border],                      # "left" (top rows, pyx:215)
+            ch[rows - border - 1:-1],          # "right" (bottom rows)
+            ch[:, 0:border],                   # "top" (left cols)
+            ch[:, cols - border - 1:-1],       # "bottom" (right cols)
+        ]
+
+    s0, s1, s2 = strip_view(l0), strip_view(l1), strip_view(l2)
 
     maps = []
-    for strip in strips:
-        px = strip.reshape(-1, 3)
-        mean = jnp.mean(px, axis=0)
-        xc = px - mean
+    for k in range(4):
+        a, b, c = s0[k].reshape(-1), s1[k].reshape(-1), s2[k].reshape(-1)
+        m = jnp.stack([jnp.mean(a), jnp.mean(b), jnp.mean(c)])
+        da, db, dc = a - m[0], b - m[1], c - m[2]
         # np.cov: unbiased (n-1) normalization (pyx:232-236)
-        cov = (xc.T @ xc) / jnp.maximum(px.shape[0] - 1, 1)
+        nrm = 1.0 / jnp.maximum(a.shape[0] - 1, 1)
+        cov = jnp.stack([
+            jnp.stack([jnp.sum(da * da), jnp.sum(da * db), jnp.sum(da * dc)]),
+            jnp.stack([jnp.sum(da * db), jnp.sum(db * db), jnp.sum(db * dc)]),
+            jnp.stack([jnp.sum(da * dc), jnp.sum(db * dc), jnp.sum(dc * dc)]),
+        ]) * nrm
         vi = jnp.linalg.pinv(cov)
-        diff = flat - mean
-        d2 = jnp.einsum("ni,ij,nj->n", diff, vi, diff)
-        u = jnp.sqrt(jnp.maximum(d2, 0.0)).reshape(rows, cols)
+        x0, x1, x2 = l0 - m[0], l1 - m[1], l2 - m[2]
+        d2 = (
+            vi[0, 0] * x0 * x0 + vi[1, 1] * x1 * x1 + vi[2, 2] * x2 * x2
+            + 2.0 * (vi[0, 1] * x0 * x1 + vi[0, 2] * x0 * x2
+                     + vi[1, 2] * x1 * x2)
+        )
+        u = jnp.sqrt(jnp.maximum(d2, 0.0))
         maps.append(u / jnp.maximum(jnp.max(u), 1e-30))
 
     stacked = jnp.stack(maps)
@@ -186,16 +203,27 @@ def get_weights(img_srgb, tile_size: float):
     Returns (H*W,) weights in [1, inf), or None for degenerate sizes.
     """
     rows, cols = int(img_srgb.shape[0]), int(img_srgb.shape[1])
+    planar = (
+        img_srgb[..., 0], img_srgb[..., 1], img_srgb[..., 2]
+    )
+    return get_weights_planar(planar, rows, cols, tile_size)
+
+
+def get_weights_planar(channels, rows: int, cols: int, tile_size: float):
+    """Planar-channel saliency: ``channels`` is a 3-tuple of (rows*cols,)
+    or (rows, cols) sRGB arrays. See :func:`get_weights`."""
     if rows <= 3 or cols <= 3:
         return None
+    r, g, b = (ch.reshape(rows, cols).astype(jnp.float32)
+               for ch in channels)
 
-    img_mean = jnp.mean(img_srgb, axis=2).astype(jnp.float32)
+    img_mean = (r + g + b) * (1.0 / 3.0)
     sal = mbd(img_mean)
 
     border = int(0.1 * (rows * cols) ** 0.5)
     border = max(border, 1)
 
-    lab = cs.srgb_to_lab(img_srgb)
+    lab = cs.srgb_to_lab((r, g, b))
     u_final = _border_prior(lab, border)
 
     sal = sal / jnp.maximum(jnp.max(sal), 1e-30) + u_final / jnp.maximum(

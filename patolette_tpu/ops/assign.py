@@ -92,3 +92,57 @@ def assign(colors, centers, valid=None, chunk=_DEFAULT_CHUNK,
     labels = labels.reshape(-1)[:n]
     dists = dists.reshape(-1)[:n]
     return (labels, dists) if with_distances else labels
+
+
+_PLANAR_CHUNK = 1 << 20
+
+
+def assign_planar(channels, centers, valid=None, chunk=_PLANAR_CHUNK,
+                  with_distances=False):
+    """Nearest centroid for channel-planar pixels (3-tuple of ``(N,)``).
+
+    Same semantics as :func:`assign`, formulated for the planar image
+    layout: the distance matrix of a chunk is built from three rank-1
+    broadcast products ``x_ch (chunk,1) * c_ch (1,K)`` on the VPU, so no
+    lane-padded ``(N, 3)`` intermediate ever exists (TPU pads the minor
+    dim to 128 lanes — 42.7x for dim 3). K <= a few thousand.
+    """
+    a, b, c = channels
+    n = a.shape[0]
+    c2 = jnp.sum(centers * centers, axis=-1)
+    ca, cb, cc = centers[:, 0], centers[:, 1], centers[:, 2]
+
+    def block(xa, xb, xc):
+        d = c2[None, :] - 2.0 * (
+            xa[:, None] * ca[None, :]
+            + xb[:, None] * cb[None, :]
+            + xc[:, None] * cc[None, :]
+        )
+        if valid is not None:
+            d = jnp.where(valid[None, :], d, jnp.inf)
+        labels = jnp.argmin(d, axis=-1).astype(jnp.int32)
+        if not with_distances:
+            return labels, None
+        x2 = xa * xa + xb * xb + xc * xc
+        return labels, jnp.maximum(jnp.min(d, axis=-1) + x2, 0.0)
+
+    if n <= chunk:
+        labels, dists = block(a, b, c)
+        return (labels, dists) if with_distances else labels
+
+    pad = (-n) % chunk
+    if pad:
+        z = jnp.zeros((pad,), a.dtype)
+        a, b, c = (jnp.concatenate([v, z]) for v in (a, b, c))
+
+    def body(_, xs):
+        return None, block(*xs)
+
+    _, (labels, dists) = jax.lax.scan(
+        body, None,
+        (a.reshape(-1, chunk), b.reshape(-1, chunk), c.reshape(-1, chunk)),
+    )
+    labels = labels.reshape(-1)[:n]
+    if with_distances:
+        return labels, dists.reshape(-1)[:n]
+    return labels

@@ -2,9 +2,19 @@
 
 TPU-native reimplementation of the reference's per-row C converters
 (/root/reference/lib/src/color/{sRGB,xyz,CIELuv,ICtCp,rec2020,eotf}.c) as
-pure ``jnp`` functions over ``(..., 3)`` arrays. Everything is elementwise +
-3x3 matmuls, so a single ``jit`` fuses each composite transform into one
-VPU pass over the pixel array.
+pure ``jnp`` functions. Everything is elementwise + 3x3 matmuls, so a
+single ``jit`` fuses each composite transform into one VPU pass over the
+pixel array.
+
+Every transform accepts EITHER an ``(..., 3)`` array OR a channel-planar
+3-tuple of same-shaped arrays, returning the matching form. The planar form
+is the only fast one for full images on TPU: the hardware tiles the minor
+dimension to 128 lanes, so an ``(N, 3)`` f32 image is physically padded
+42.7x (f32[1e8,3] -> 51.2 GB), while three ``(N,)`` vectors are compact.
+(The reference stores colors column-major / Fortran-order for the same
+data-locality reason, patolette.c:126-129.) The 3x3 "matmuls" in planar
+form are nine explicit f32 fused multiply-adds — full precision, no MXU
+rounding, so ``precision="highest"`` concerns only the array form.
 
 Conventions (identical to the reference):
   * sRGB values are gamma-encoded in [0, 1]; gamma decode/encode clamp to
@@ -101,11 +111,41 @@ PQ_C2 = 18.8515625
 PQ_C3 = 18.6875
 
 
+def _is_planar(x):
+    return isinstance(x, (tuple, list))
+
+
+def _split(x):
+    """(..., 3) array or 3-tuple -> 3 channel arrays."""
+    if _is_planar(x):
+        return x[0], x[1], x[2]
+    return x[..., 0], x[..., 1], x[..., 2]
+
+
+def _join(like, a, b, c):
+    """3 channel arrays -> same container kind as ``like``."""
+    if _is_planar(like):
+        return (a, b, c)
+    return jnp.stack([a, b, c], axis=-1)
+
+
+def _map1(f, x):
+    """Apply an elementwise primitive to an array or each planar channel."""
+    if _is_planar(x):
+        return tuple(f(ch) for ch in x)
+    return f(x)
+
+
 def _matmul(x, m):
     # precision='highest': TPU MXU would otherwise run f32 matmuls at
     # bf16-ish precision, which costs ~0.5 absolute error on CIELuv-scale
     # coordinates. These (N,3)@(3,3) products are bandwidth-bound, so full
-    # f32 is free.
+    # f32 is free. The planar branch is nine explicit f32 FMAs (exact).
+    if _is_planar(x):
+        a, b, c = x
+        return tuple(
+            m[i][0] * a + m[i][1] * b + m[i][2] * c for i in range(3)
+        )
     mt = jnp.asarray(m, dtype=x.dtype).T
     return jnp.dot(x, mt, precision="highest")
 
@@ -163,12 +203,12 @@ def pq_eotf_inverse(f):
 
 def srgb_to_xyz(rgb):
     """Gamma decode + primaries matrix (reference xyz.c:14-40)."""
-    return _matmul(srgb_gamma_decode(rgb), M_SRGB_TO_XYZ)
+    return _matmul(_map1(srgb_gamma_decode, rgb), M_SRGB_TO_XYZ)
 
 
 def xyz_to_srgb(xyz):
     """Primaries matrix + gamma encode (reference sRGB.c:30-58)."""
-    return srgb_gamma_encode(_matmul(xyz, M_XYZ_TO_SRGB))
+    return _map1(srgb_gamma_encode, _matmul(xyz, M_XYZ_TO_SRGB))
 
 
 def xyz_to_linear_rec2020(xyz):
@@ -181,7 +221,7 @@ def linear_rec2020_to_xyz(rgb2020):
 
 def xyz_to_cieluv(xyz):
     """CIE XYZ -> CIELuv with D65 white (reference CIELuv.c:54-100)."""
-    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    x, y, z = _split(xyz)
     den = x + 15.0 * y + 3.0 * z
     safe = den > 0.0
     den_safe = jnp.where(safe, den, 1.0)
@@ -201,13 +241,13 @@ def xyz_to_cieluv(xyz):
     )
     u = 13.0 * l * (up - urp)
     v = 13.0 * l * (vp - vrp)
-    return jnp.stack([l, u, v], axis=-1)
+    return _join(xyz, l, u, v)
 
 
 def cieluv_to_xyz(luv):
     """CIELuv -> CIE XYZ with zero-denominator guards
     (reference CIELuv.c:110-164)."""
-    l, u, v = luv[..., 0], luv[..., 1], luv[..., 2]
+    l, u, v = _split(luv)
     y = jnp.where(
         l > K_KE,
         jnp.power((l + 16.0) / 116.0, 3.0),
@@ -237,20 +277,20 @@ def cieluv_to_xyz(luv):
     x_safe = x_den != 0.0
     x = jnp.where(x_safe, (d - b) / jnp.where(x_safe, x_den, 1.0), 0.0)
     z = x * a + b
-    return jnp.stack([x, y, z], axis=-1)
+    return _join(luv, x, y, z)
 
 
 def linear_rec2020_to_ictcp(rgb2020):
     """Linear Rec2020 -> ICtCp with HALVED Ct (reference ICtCp.c:41-79)."""
     lms = _matmul(rgb2020, M_REC2020_TO_LMS)
-    lmsp = pq_eotf_inverse(lms)
+    lmsp = _map1(pq_eotf_inverse, lms)
     return _matmul(lmsp, M_LMSP_TO_ICTCP)
 
 
 def ictcp_to_linear_rec2020(ictcp):
     """ICtCp (halved Ct) -> linear Rec2020 (reference rec2020.c:32-69)."""
     lmsp = _matmul(ictcp, M_ICTCP_TO_LMSP)
-    lms = pq_eotf(lmsp)
+    lms = _map1(pq_eotf, lmsp)
     return _matmul(lms, M_LMS_TO_REC2020)
 
 
@@ -293,20 +333,17 @@ def srgb_to_lab(rgb):
     (/root/reference/src/patolette/patolette.pyx:213); this is the standard
     closed-form CIELAB transform with the same D65 white.
     """
-    xyz = srgb_to_xyz(rgb)
-    xn = jnp.stack(
-        [xyz[..., 0] / D65_X, xyz[..., 1] / D65_Y, xyz[..., 2] / D65_Z],
-        axis=-1,
+    x0, y0, z0 = _split(srgb_to_xyz(rgb))
+    fwhite = lambda t: jnp.where(
+        t > K_E, jnp.cbrt(t), (K_K * t + 16.0) / 116.0
     )
-    f = jnp.where(
-        xn > K_E,
-        jnp.cbrt(xn),
-        (K_K * xn + 16.0) / 116.0,
-    )
-    l = 116.0 * f[..., 1] - 16.0
-    a = 500.0 * (f[..., 0] - f[..., 1])
-    b = 200.0 * (f[..., 1] - f[..., 2])
-    return jnp.stack([l, a, b], axis=-1)
+    fx = fwhite(x0 / D65_X)
+    fy = fwhite(y0 / D65_Y)
+    fz = fwhite(z0 / D65_Z)
+    l = 116.0 * fy - 16.0
+    a = 500.0 * (fx - fy)
+    b = 200.0 * (fy - fz)
+    return _join(rgb, l, a, b)
 
 
 # --------------------------------------------------------------------------
