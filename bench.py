@@ -8,11 +8,12 @@ WITH 25-iteration weighted-KMeans refinement, ICtCp working space. The
 driver north star is < 1 s on one v5p host (~4 chips) => 25 MP/s/chip.
 
 The image enters as uint8 sRGB (the native format of real 8-bit images)
-and the palette map returns as int32; both directions ride the
-host<->device link at minimal width. Note: through the axon tunnel that
-link runs at ~45 MB/s each way, so end-to-end throughput here is
-transfer-bound — (3 + 1) bytes/pixel puts the tunnel-imposed ceiling near
-11 MP/s regardless of on-chip speed.
+and the palette map returns as int32. The wire cost is independent of the
+image size (ops/lut.py): only the palette-stage subsamples go up, and the
+map comes back as one 16.7 MB 24-bit LUT resolved on the host by the
+threaded native pack+gather — the ~45 MB/s axon tunnel no longer caps
+throughput at 4 bytes/pixel (round 1: 9.7 MP/s against that ~11 MP/s
+ceiling).
 """
 
 import json

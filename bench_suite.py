@@ -17,22 +17,17 @@ import numpy as np
 
 
 def synth_image(w, h, seed=0):
-    rng = np.random.default_rng(seed)
-    yy, xx = np.mgrid[0:h, 0:w]
-    img = np.stack(
-        [
-            0.5 + 0.45 * np.sin(xx / 97.0) * np.cos(yy / 131.0),
-            0.5 + 0.45 * np.cos(xx / 177.0 + yy / 211.0),
-            np.clip(yy / h + 0.05 * rng.standard_normal((h, w)), 0, 1),
-        ],
-        axis=-1,
-    )
-    return np.clip(img, 0, 1).reshape(-1, 3).astype(np.float32)
+    """uint8 sRGB test image (the wire-native 8-bit format, like bench.py);
+    tiled texture + full-size gradient so large sizes synthesize fast."""
+    from bench import synth_image_u8
+
+    return synth_image_u8(w, h, seed=seed, tile=min(1000, w, h))
 
 
 def mse_luv(colors, palette, pmap):
     from patolette_tpu.ops import colorspace as cs
 
+    colors = colors.astype(np.float32) / 255.0
     a = np.asarray(cs.srgb_to_cieluv(colors))
     b = np.asarray(cs.srgb_to_cieluv(np.clip(palette, 0, 1)))[pmap]
     return float(((a - b) ** 2).sum(-1).mean())

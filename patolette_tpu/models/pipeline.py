@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from patolette_tpu.ops import colorspace as cs
 from patolette_tpu.ops import eigen3
+from patolette_tpu.ops import lut as LUT
 from patolette_tpu.ops import moments as M
 from patolette_tpu.ops import wire
 from patolette_tpu.ops.assign import assign, assign_planar
@@ -157,6 +158,122 @@ def _palette_to_srgb(palette_working, color_space):
     return cs.working_to_srgb(palette_working, color_space)
 
 
+# Wire-cost thresholds for the sample+LUT path (see _quantize_via_samples):
+# the 16.7 MB LUT download pays off once the image outweighs it (4 bytes of
+# direct wire traffic per pixel), and the palette-stage samples must stay
+# small enough that their interleaved (M, 3) upload is negligible.
+LUT_MIN_PIXELS = 1 << 22
+SAMPLE_MAX = 1 << 22
+
+
+def _put_sample(sub):
+    """Host (M, 3) sample -> device, u8 raw or f32."""
+    if sub.dtype == np.uint8:
+        return jnp.asarray(sub)
+    return jnp.asarray(np.asarray(sub, dtype=np.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("niter",))
+def _kmeans_on_samples(samples, weights, centers, valid, niter):
+    return KM.lloyd_iterations(samples, weights, centers, valid, niter)
+
+
+def _gq_lq_palette(x_lq, w_lq, p, batch_splits, verbose, timer):
+    """GQ (device moments + host f64 DP) then LQ on prepared samples."""
+    buckets, bm = _gq_bucket_stage(x_lq)
+    bm_np = np.asarray(bm, np.float64)
+    timer.lap("gq-moments")
+    cuts_np = GQ.gq_host(bm_np, p)
+    k0 = len(cuts_np) - 1
+    cuts = jnp.asarray(
+        np.pad(cuts_np, (0, GQ.MAX_K + 1 - len(cuts_np)),
+               constant_values=GQ.BUCKET_COUNT).astype(np.int32)
+    )
+    _log(verbose, f"Base cluster count: {k0}")
+    timer.lap("gq-dp")
+    labels, count, centers, valid = _lq_stage(
+        x_lq, w_lq, buckets, cuts, jnp.int32(k0), p,
+        batch_splits=max(1, int(batch_splits)),
+    )
+    timer.lap("lq")
+    return labels, count, centers, valid
+
+
+def _finish_palette(palette_work, valid_np, p, csp):
+    """Working-space palette -> sRGB with [-1,-1,-1] fill (patolette.c:328)."""
+    pal_srgb = np.asarray(_palette_to_srgb(palette_work, csp), np.float64)
+    palette = np.full((p, 3), -1.0)
+    palette[valid_np] = pal_srgb[valid_np]
+    return palette
+
+
+def _quantize_via_samples(width, height, colors, p, *, palette_only, csp,
+                          kmeans_niter, kmeans_max_samples, verbose, weights,
+                          lq_max_samples, lq_batch_splits, seed, timer):
+    """Sample-upload + LUT-download path: wire cost independent of N.
+
+    The palette search never needed more than its deterministic subsamples
+    (lq_max_samples for GQ/LQ; the reference's own KMeans cap, refine.c:87),
+    so only those cross the host->device link. The palette map for a uint8
+    image factors through the 2^24 possible colors (ops/lut.py): the device
+    ships one 16.7 MB table back and the host resolves every pixel with a
+    threaded native pack+gather. Output is identical to the full-upload
+    path up to the RNG stream used for the subsample draws.
+    """
+    n = colors.shape[0]
+    rng = np.random.default_rng(seed)
+    w_host = None if weights is None else np.asarray(weights, np.float32)
+
+    if lq_max_samples and n > lq_max_samples:
+        idx = rng.integers(0, n, size=int(lq_max_samples))
+        sub = colors[idx]
+        w_lq_h = None if w_host is None else w_host[idx]
+    else:
+        sub, w_lq_h = colors, w_host
+    x_lq = _to_working(_put_sample(sub), csp)
+    w_lq = None if w_lq_h is None else jnp.asarray(w_lq_h)
+    timer.lap("sample-in")
+
+    _log(verbose, "Palette generation")
+    labels, count, centers, valid = _gq_lq_palette(
+        x_lq, w_lq, p, lq_batch_splits, verbose, timer
+    )
+
+    if kmeans_niter > 0:
+        _log(verbose, "KMeans refinement")
+        cap = KM.subsample_cap(p, int(kmeans_max_samples))
+        if n > cap:
+            idx2 = rng.integers(0, n, size=cap)
+            x_km = _to_working(_put_sample(colors[idx2]), csp)
+            w_km = (
+                None if w_host is None else jnp.asarray(w_host[idx2])
+            )
+        elif sub is colors:
+            x_km, w_km = x_lq, w_lq
+        else:
+            x_km = _to_working(_put_sample(colors), csp)
+            w_km = None if w_host is None else jnp.asarray(w_host)
+        centers = _kmeans_on_samples(
+            x_km, w_km, centers, valid, int(kmeans_niter)
+        )
+        timer.lap("kmeans")
+
+    valid_np = np.asarray(valid)
+    palette_map = None
+    if not palette_only:
+        _log(verbose, "NN mapping (24-bit LUT)")
+        lut = LUT.build_lut_device(centers, valid, csp, LUT.lut_dtype(p))
+        lut_np = wire.get_1d(lut)
+        timer.lap("lut-build+pull")
+        palette_map = LUT.lut_map_host(colors, lut_np).astype(np.int32)
+        timer.lap("lut-map-host")
+
+    palette = _finish_palette(centers, valid_np, p, csp)
+    return True, palette, palette_map, errors.exit_code_message(
+        errors.ExitCode.SUCCESS
+    )
+
+
 # --------------------------------------------------------------------------
 # Public API
 # --------------------------------------------------------------------------
@@ -230,6 +347,29 @@ def quantize(
             mesh = None
             n_shards = 0
 
+    # --- sample+LUT fast path (wire cost independent of N) ----------------
+    csp = int(color_space)
+    is_u8 = colors.dtype == np.uint8
+    use_saliency = weights is None and tile_size > 0
+    lut_eligible = is_u8 and not dither and p <= 65536
+    m_pal = n if not lq_max_samples else min(n, int(lq_max_samples))
+    if kmeans_niter > 0:
+        m_pal = max(
+            m_pal, min(n, KM.subsample_cap(p, int(kmeans_max_samples)))
+        )
+    if (
+        mesh is None
+        and not use_saliency
+        and m_pal <= SAMPLE_MAX
+        and (palette_only or (lut_eligible and n >= LUT_MIN_PIXELS))
+    ):
+        return _quantize_via_samples(
+            width, height, colors, p, palette_only=palette_only, csp=csp,
+            kmeans_niter=kmeans_niter, kmeans_max_samples=kmeans_max_samples,
+            verbose=verbose, weights=weights, lq_max_samples=lq_max_samples,
+            lq_batch_splits=lq_batch_splits, seed=seed, timer=timer,
+        )
+
     if mesh is not None:
         return _quantize_sharded(
             width, height, colors, p, mesh, n_shards,
@@ -276,26 +416,10 @@ def quantize(
         x_lq = jnp.stack(xp_work, axis=-1)
         w_lq = w_full
 
-    # --- GQ: device moments, host f64 DP ---------------------------------
-    buckets, bm = _gq_bucket_stage(x_lq)
-    bm_np = np.asarray(bm, np.float64)
-    timer.lap("gq-moments")
-    cuts_np = GQ.gq_host(bm_np, p)
-    k0 = len(cuts_np) - 1
-    cuts = jnp.asarray(
-        np.pad(cuts_np, (0, GQ.MAX_K + 1 - len(cuts_np)),
-               constant_values=GQ.BUCKET_COUNT).astype(np.int32)
+    # --- GQ (device moments, host f64 DP) + LQ -----------------------------
+    labels, count, centers, valid = _gq_lq_palette(
+        x_lq, w_lq, p, lq_batch_splits, verbose, timer
     )
-    _log(verbose, f"Base cluster count: {k0}")
-    timer.lap("gq-dp")
-
-    # --- LQ ----------------------------------------------------------------
-    labels, count, centers, valid = _lq_stage(
-        x_lq, w_lq, buckets, cuts, jnp.int32(k0), p,
-        batch_splits=max(1, int(lq_batch_splits)),
-    )
-    count = int(np.asarray(count))
-    timer.lap("lq")
 
     # --- KMeans refinement -------------------------------------------------
     if kmeans_niter > 0:
@@ -320,19 +444,27 @@ def quantize(
                 xp_work, palette_work, valid, width, height, csp,
                 segment=dither_segment,
             )
+        elif lut_eligible and n > LUT.LUT_SIZE:
+            # image already on device for weights, but the map download is
+            # cheaper as the fixed 16.7 MB table than as n indices
+            _log(verbose, "NN mapping (24-bit LUT)")
+            lut = LUT.build_lut_device(
+                palette_work, valid, csp, LUT.lut_dtype(p)
+            )
+            palette_map = LUT.lut_map_host(
+                colors, wire.get_1d(lut)
+            ).astype(np.int32)
         else:
             _log(verbose, "NN mapping")
             palette_map = _nn_map_stage_planar(
                 xp_work, palette_work, valid, csp
             )
-        palette_map = wire.get_palette_map(palette_map, p)
+        if not isinstance(palette_map, np.ndarray):
+            palette_map = wire.get_palette_map(palette_map, p)
         timer.lap("dither" if dither else "nn-map")
 
     # --- palette to sRGB + [-1] fill (patolette.c:328-336) -----------------
-    pal_srgb = np.asarray(_palette_to_srgb(palette_work, csp), np.float64)
-    palette = np.full((p, 3), -1.0)
-    palette[valid_np] = pal_srgb[valid_np]
-
+    palette = _finish_palette(palette_work, valid_np, p, csp)
     return True, palette, palette_map, errors.exit_code_message(
         errors.ExitCode.SUCCESS
     )

@@ -59,6 +59,15 @@ def _load():
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
         ctypes.c_long, ctypes.c_int, ctypes.POINTER(ctypes.c_uint64),
     ]
+    for name, ct in (
+        ("oracle_lut_map_u8", ctypes.c_uint8),
+        ("oracle_lut_map_u16", ctypes.c_uint16),
+        ("oracle_lut_map_i32", ctypes.c_int32),
+    ):
+        getattr(lib, name).argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ctypes.POINTER(ct), ctypes.POINTER(ct), ctypes.c_int,
+        ]
     _lib = lib
     return _lib
 
@@ -117,6 +126,35 @@ def mbd(img, iters=3):
             rows, cols, inverse,
         )
     return d
+
+
+def lut_map_u8(colors_u8, lut, nthreads: int = 0):
+    """Fused 24-bit pack + LUT gather: out[i] = lut[r<<16 | g<<8 | b].
+
+    ``colors_u8``: (N, 3) uint8; ``lut``: (2^24,) uint8/uint16/int32.
+    Returns an (N,) array of ``lut.dtype``, or None when the native
+    library is unavailable (caller falls back to numpy)."""
+    lib = _load()
+    if lib is None:
+        return None
+    fns = {
+        np.dtype(np.uint8): (lib.oracle_lut_map_u8, ctypes.c_uint8),
+        np.dtype(np.uint16): (lib.oracle_lut_map_u16, ctypes.c_uint16),
+        np.dtype(np.int32): (lib.oracle_lut_map_i32, ctypes.c_int32),
+    }
+    if lut.dtype not in fns:
+        return None
+    fn, ct = fns[lut.dtype]
+    colors_u8 = np.ascontiguousarray(colors_u8, np.uint8)
+    lut = np.ascontiguousarray(lut)
+    n = len(colors_u8)
+    out = np.empty((n,), lut.dtype)
+    if not nthreads:
+        # latency-bound gather: oversubscribing the cores hides table misses
+        nthreads = min(8, 2 * (os.cpu_count() or 1))
+    fn(_ptr(colors_u8, ctypes.c_uint8), n, _ptr(lut, ct), _ptr(out, ct),
+       nthreads)
+    return out
 
 
 def hilbert_d(x, y, order):

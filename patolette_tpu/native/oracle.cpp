@@ -16,6 +16,7 @@
 #include <cstring>
 #include <vector>
 #include <algorithm>
+#include <thread>
 
 namespace {
 
@@ -235,6 +236,70 @@ void oracle_hilbert_d(const uint32_t* xs, const uint32_t* ys, long n,
         }
         out[i] = dacc;
     }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// 24-bit LUT palette mapping: fused pack + gather, threaded.
+// out[i] = lut[(r<<16)|(g<<8)|b] — the host half of the LUT wire path
+// (ops/lut.py): one pass over the image, ~4 bytes of memory traffic per
+// pixel plus the (cache-resident) 16.7 MB table.
+// ---------------------------------------------------------------------------
+namespace {
+
+inline uint32_t pack24(const uint8_t* p) {
+    return ((uint32_t)p[0] << 16) | ((uint32_t)p[1] << 8) | p[2];
+}
+
+template <typename T>
+void lut_map_range(const uint8_t* rgb, long lo, long hi, const T* lut,
+                   T* out) {
+    // Software-prefetch the table entry PF iterations ahead: the gather is
+    // latency-bound on table misses (the 16.7 MB LUT exceeds L2).
+    constexpr long PF = 24;
+    for (long i = lo; i < hi; i++) {
+        if (i + PF < hi)
+            __builtin_prefetch(&lut[pack24(rgb + 3 * (i + PF))], 0, 1);
+        out[i] = lut[pack24(rgb + 3 * i)];
+    }
+}
+
+template <typename T>
+void lut_map_threaded(const uint8_t* rgb, long n, const T* lut, T* out,
+                      int nthreads) {
+    if (nthreads < 2 || n < (1L << 20)) {
+        lut_map_range(rgb, 0, n, lut, out);
+        return;
+    }
+    std::vector<std::thread> ts;
+    const long step = (n + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+        const long lo = t * step;
+        const long hi = std::min(n, lo + step);
+        if (lo >= hi) break;
+        ts.emplace_back(lut_map_range<T>, rgb, lo, hi, lut, out);
+    }
+    for (auto& th : ts) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+void oracle_lut_map_u8(const uint8_t* rgb, long n, const uint8_t* lut,
+                       uint8_t* out, int nthreads) {
+    lut_map_threaded(rgb, n, lut, out, nthreads);
+}
+
+void oracle_lut_map_u16(const uint8_t* rgb, long n, const uint16_t* lut,
+                        uint16_t* out, int nthreads) {
+    lut_map_threaded(rgb, n, lut, out, nthreads);
+}
+
+void oracle_lut_map_i32(const uint8_t* rgb, long n, const int32_t* lut,
+                        int32_t* out, int nthreads) {
+    lut_map_threaded(rgb, n, lut, out, nthreads);
 }
 
 }  // extern "C"

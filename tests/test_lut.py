@@ -1,0 +1,140 @@
+"""24-bit LUT palette mapping (ops/lut.py) and the sample+LUT fast path.
+
+The LUT path must be *bit-identical* to the direct per-pixel NN map
+(reference semantics: exact NN, lowest index wins — nearest.c:150-209):
+same distance formula, same working->ICtCp staging (quirk Q4,
+patolette.c:140).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from patolette_tpu.ops import colorspace as cs
+from patolette_tpu.ops import lut as LUT
+from patolette_tpu.ops.assign import assign_planar
+from patolette_tpu.models import pipeline
+
+
+def _rand_palette(rng, p, dtype=np.float32):
+    return jnp.asarray(rng.uniform(0.05, 0.95, size=(p, 3)), dtype=dtype)
+
+
+@pytest.mark.parametrize("color_space", [0, 1, 2])  # sRGB, CIELuv, ICtCp
+def test_lut_matches_direct_assign(color_space):
+    rng = np.random.default_rng(7)
+    p = 8
+    pal_srgb = _rand_palette(rng, p)
+    pal_work = cs.srgb_to_working(pal_srgb, color_space)
+    valid = jnp.asarray([True] * (p - 1) + [False])
+
+    lut = np.asarray(
+        LUT.build_lut_device(pal_work, valid, color_space, jnp.uint8)
+    )
+    assert lut.shape == (1 << 24,)
+
+    pix = rng.integers(0, 256, size=(4096, 3), dtype=np.uint8)
+    codes = (
+        (pix[:, 0].astype(np.int64) << 16)
+        | (pix[:, 1].astype(np.int64) << 8)
+        | pix[:, 2].astype(np.int64)
+    )
+    via_lut = lut[codes]
+
+    chans = tuple(
+        jnp.asarray(pix[:, k], jnp.float32) * (1.0 / 255.0) for k in range(3)
+    )
+    xw = cs.srgb_to_working(chans, color_space)
+    xi = cs.working_to_ictcp(xw, color_space)
+    pi = cs.working_to_ictcp(pal_work, color_space)
+    direct = np.asarray(assign_planar(xi, pi, valid=valid))
+
+    np.testing.assert_array_equal(via_lut, direct)
+
+
+def test_lut_dtype_widths():
+    assert LUT.lut_dtype(256) == jnp.uint8
+    assert LUT.lut_dtype(257) == jnp.uint16
+    assert LUT.lut_dtype(70000) == jnp.int32
+
+
+def test_native_lut_map_matches_numpy():
+    from patolette_tpu import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(100_000, 3), dtype=np.uint8)
+    for dt in (np.uint8, np.uint16, np.int32):
+        lut = rng.integers(0, 200, size=(1 << 24,)).astype(dt)
+        out = native.lut_map_u8(img, lut)
+        codes = (
+            (img[:, 0].astype(np.int64) << 16)
+            | (img[:, 1].astype(np.int64) << 8)
+            | img[:, 2]
+        )
+        np.testing.assert_array_equal(out, lut[codes])
+        assert out.dtype == dt
+
+
+def test_fast_path_matches_full_path(monkeypatch):
+    """With no sampling in play (n below every cap), the sample+LUT path
+    must produce the exact same palette and palette map as the full-upload
+    path — the LUT is a wire format, not an approximation."""
+    rng = np.random.default_rng(11)
+    w = h = 64
+    img = rng.integers(0, 256, size=(w * h, 3), dtype=np.uint8)
+
+    kw = dict(dither=False, tile_size=0, kmeans_niter=4, palette_size=17)
+
+    ok, pal_full, map_full, _ = pipeline.quantize(
+        w, h, img, kw["palette_size"], dither=False, tile_size=0,
+        kmeans_niter=4,
+    )
+    assert ok
+
+    monkeypatch.setattr(pipeline, "LUT_MIN_PIXELS", 0)
+    ok, pal_fast, map_fast, _ = pipeline.quantize(
+        w, h, img, kw["palette_size"], dither=False, tile_size=0,
+        kmeans_niter=4,
+    )
+    assert ok
+    np.testing.assert_allclose(pal_fast, pal_full, rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(map_fast, map_full)
+    assert map_fast.dtype == np.int32
+
+
+def test_fast_path_sampled_with_weights(monkeypatch):
+    """Sampled fast path (n above the LQ cap) with explicit weights:
+    runs end to end, palette is usable, map covers only valid slots."""
+    monkeypatch.setattr(pipeline, "LUT_MIN_PIXELS", 0)
+    rng = np.random.default_rng(5)
+    w, h = 100, 90
+    img = rng.integers(0, 256, size=(w * h, 3), dtype=np.uint8)
+    weights = 1.0 + rng.random(w * h)
+    ok, pal, pmap, msg = pipeline.quantize(
+        w, h, img, 16, dither=False, tile_size=0, kmeans_niter=2,
+        weights=weights, lq_max_samples=1024,
+    )
+    assert ok, msg
+    live = np.flatnonzero(pal[:, 0] >= 0)
+    assert len(live) > 1
+    assert np.isin(np.unique(pmap), live).all()
+    # quality sanity: mapped image is closer than a 1-color image
+    recon = pal[pmap]
+    mse = np.mean((recon - img / 255.0) ** 2)
+    assert mse < np.var(img / 255.0)
+
+
+def test_fast_path_palette_only_float_input(monkeypatch):
+    monkeypatch.setattr(pipeline, "LUT_MIN_PIXELS", 0)
+    rng = np.random.default_rng(9)
+    w = h = 50
+    img = rng.random((w * h, 3))
+    ok, pal, pmap, msg = pipeline.quantize(
+        w, h, img, 8, palette_only=True, dither=False, tile_size=0,
+        kmeans_niter=2, lq_max_samples=1000,
+    )
+    assert ok, msg
+    assert pmap is None
+    assert pal.shape == (8, 3)
