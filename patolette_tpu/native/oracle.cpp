@@ -241,10 +241,12 @@ void oracle_hilbert_d(const uint32_t* xs, const uint32_t* ys, long n,
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
-// 24-bit LUT palette mapping: fused pack + gather, threaded.
-// out[i] = lut[(r<<16)|(g<<8)|b] — the host half of the LUT wire path
-// (ops/lut.py): one pass over the image, ~4 bytes of memory traffic per
-// pixel plus the (cache-resident) 16.7 MB table.
+// 24-bit LUT palette mapping: fused pack + gather + int32 widen, threaded.
+// out[i] = (int32) lut[(r<<16)|(g<<8)|b] — the host half of the LUT wire
+// path (ops/lut.py): one pass over the image, with the public int32 widen
+// fused into the gather (no separate numpy astype pass over N elements).
+// The table must be padded with >= 4 zero bytes past its end: the AVX-512
+// path gathers 4-byte windows at byte offsets into the u8/u16 table.
 // ---------------------------------------------------------------------------
 namespace {
 
@@ -254,22 +256,63 @@ inline uint32_t pack24(const uint8_t* p) {
 
 template <typename T>
 void lut_map_range(const uint8_t* rgb, long lo, long hi, const T* lut,
-                   T* out) {
+                   int32_t* out) {
     // Software-prefetch the table entry PF iterations ahead: the gather is
     // latency-bound on table misses (the 16.7 MB LUT exceeds L2).
     constexpr long PF = 24;
     for (long i = lo; i < hi; i++) {
         if (i + PF < hi)
             __builtin_prefetch(&lut[pack24(rgb + 3 * (i + PF))], 0, 1);
-        out[i] = lut[pack24(rgb + 3 * i)];
+        out[i] = (int32_t)lut[pack24(rgb + 3 * i)];
     }
 }
 
+#if defined(__x86_64__)
+// vpgatherdd amortizes the table-access latency 16-wide; indices are packed
+// scalar into an L1-resident chunk first. sizeof(T) in {1, 2}: the gather
+// reads a dword window at byte offset sizeof(T)*code and masks to the
+// element — hence the required table tail padding.
 template <typename T>
-void lut_map_threaded(const uint8_t* rgb, long n, const T* lut, T* out,
+__attribute__((target("avx512f")))
+void lut_map_range_avx512(const uint8_t* rgb, long lo, long hi, const T* lut,
+                          int32_t* out) {
+    constexpr long CH = 4096;
+    alignas(64) uint32_t codes[CH];
+    const __m512i mask = _mm512_set1_epi32((int)((1u << (8 * sizeof(T))) - 1));
+    for (long base = lo; base < hi; base += CH) {
+        const long m = std::min(CH, hi - base);
+        const uint8_t* p = rgb + 3 * base;
+        for (long i = 0; i < m; i++) codes[i] = pack24(p + 3 * i);
+        long i = 0;
+        for (; i + 16 <= m; i += 16) {
+            __m512i idx = _mm512_load_si512((const void*)(codes + i));
+            __m512i g = _mm512_i32gather_epi32(idx, (const int*)lut,
+                                               sizeof(T));
+            _mm512_storeu_si512((void*)(out + base + i),
+                                _mm512_and_si512(g, mask));
+        }
+        for (; i < m; i++) out[base + i] = (int32_t)lut[codes[i]];
+    }
+}
+#endif
+
+template <typename T>
+void lut_map_dispatch(const uint8_t* rgb, long lo, long hi, const T* lut,
+                      int32_t* out) {
+#if defined(__x86_64__)
+    if (sizeof(T) <= 2 && __builtin_cpu_supports("avx512f")) {
+        lut_map_range_avx512<T>(rgb, lo, hi, lut, out);
+        return;
+    }
+#endif
+    lut_map_range<T>(rgb, lo, hi, lut, out);
+}
+
+template <typename T>
+void lut_map_threaded(const uint8_t* rgb, long n, const T* lut, int32_t* out,
                       int nthreads) {
     if (nthreads < 2 || n < (1L << 20)) {
-        lut_map_range(rgb, 0, n, lut, out);
+        lut_map_dispatch(rgb, 0, n, lut, out);
         return;
     }
     std::vector<std::thread> ts;
@@ -278,7 +321,7 @@ void lut_map_threaded(const uint8_t* rgb, long n, const T* lut, T* out,
         const long lo = t * step;
         const long hi = std::min(n, lo + step);
         if (lo >= hi) break;
-        ts.emplace_back(lut_map_range<T>, rgb, lo, hi, lut, out);
+        ts.emplace_back(lut_map_dispatch<T>, rgb, lo, hi, lut, out);
     }
     for (auto& th : ts) th.join();
 }
@@ -288,12 +331,12 @@ void lut_map_threaded(const uint8_t* rgb, long n, const T* lut, T* out,
 extern "C" {
 
 void oracle_lut_map_u8(const uint8_t* rgb, long n, const uint8_t* lut,
-                       uint8_t* out, int nthreads) {
+                       int32_t* out, int nthreads) {
     lut_map_threaded(rgb, n, lut, out, nthreads);
 }
 
 void oracle_lut_map_u16(const uint8_t* rgb, long n, const uint16_t* lut,
-                        uint16_t* out, int nthreads) {
+                        int32_t* out, int nthreads) {
     lut_map_threaded(rgb, n, lut, out, nthreads);
 }
 
