@@ -52,6 +52,8 @@ def synth_image_u8(w, h, seed=0, tile=1000):
 
 def main():
     import patolette_tpu as pt
+    from patolette_tpu.models import pipeline
+    from patolette_tpu import native
 
     colors = synth_image_u8(WIDTH, HEIGHT)
 
@@ -64,12 +66,16 @@ def main():
         assert ok, msg
         return pal, pmap
 
-    run()  # warm-up / compile
-    times = []
+    t0 = time.perf_counter()
+    run()  # warm-up / compile (persistent-cache hit => seconds, miss => min)
+    warmup_s = time.perf_counter() - t0
+
+    times, stage_laps = [], {}
     for _ in range(REPEATS):
         t0 = time.perf_counter()
         run()
         times.append(time.perf_counter() - t0)
+        stage_laps = dict(pipeline.LAST_STAGE_TIMES)
 
     best = min(times)
     mps = (WIDTH * HEIGHT) / 1e6 / best
@@ -78,6 +84,11 @@ def main():
         "value": round(mps, 3),
         "unit": "MP/s/chip",
         "vs_baseline": round(mps / BASELINE_MPS_PER_CHIP, 3),
+        # diagnostics: attribute any regression from the artifact alone
+        "wall_s": round(best, 3),
+        "warmup_s": round(warmup_s, 1),
+        "stages_ms": stage_laps,
+        "native_lut": native.available(),
     }))
 
 

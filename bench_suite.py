@@ -43,12 +43,17 @@ def run_config(name, w, h, palette, reps=2, **kw):
         assert ok, msg
         return pal, pmap
 
+    from patolette_tpu.models import pipeline
+
+    t0 = time.perf_counter()
     pal, pmap = once()  # warm-up/compile
-    times = []
+    warmup = time.perf_counter() - t0
+    times, stages = [], {}
     for _ in range(reps):
         t0 = time.perf_counter()
         pal, pmap = once()
         times.append(time.perf_counter() - t0)
+        stages = dict(pipeline.LAST_STAGE_TIMES)
     best = min(times)
     rec = {
         "config": name,
@@ -59,6 +64,8 @@ def run_config(name, w, h, palette, reps=2, **kw):
         "mse_luv": round(mse_luv(colors, pal, pmap), 3)
         if pmap is not None
         else None,
+        "warmup_s": round(warmup, 1),
+        "stages_ms": stages,
     }
     print(json.dumps(rec), flush=True)
     return rec

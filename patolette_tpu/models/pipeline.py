@@ -16,9 +16,10 @@ Conscious divergences from the reference (all documented in README):
   * Q4/Q5: the sRGB no-dither path maps in ICtCp as documented (the C code
     skips the conversion), and ``palette_only`` output is always sRGB.
   * GQ/LQ optionally run on a deterministic subsample
-    (``lq_max_samples``, default 4M pixels) — the reference runs them on all
-    pixels but its own KMeans refinement subsamples to <= 262144, so palette
-    quality is bounded by the KMeans sampling either way.
+    (``lq_max_samples``, default 2^18 = 262144 pixels) — the reference runs
+    them on all pixels but its own KMeans refinement subsamples to <= 262144
+    (refine.c:87), so palette quality is bounded by the KMeans sampling
+    either way.
 """
 
 from __future__ import annotations
@@ -50,22 +51,37 @@ def _log(verbose, msg):
         print(f"patolette ======== {msg}", flush=True)
 
 
+# Per-stage wall times (ms) of the most recent quantize() call, keyed by
+# stage name. Written unconditionally (not only under verbose) so benchmark
+# artifacts can attribute regressions without a rerun (VERDICT r2 missing #4:
+# the round-2 3.2 s LUT regression went unattributed until measured
+# externally).
+LAST_STAGE_TIMES: dict[str, float] = {}
+
+
 class _StageTimer:
-    """Verbose-mode stage timing (SURVEY.md section 5: the reference only
-    prints stage banners; we add wall-clock per stage as parity signal)."""
+    """Stage timing (SURVEY.md section 5: the reference only prints stage
+    banners; we add wall-clock per stage as parity + regression signal).
+
+    Always records into ``LAST_STAGE_TIMES``; prints only under verbose."""
 
     def __init__(self, verbose):
         self.verbose = verbose
         self.t = time.perf_counter()
+        self.laps: dict[str, float] = {}
+        global LAST_STAGE_TIMES
+        LAST_STAGE_TIMES = self.laps
 
     def lap(self, name):
+        now = time.perf_counter()
+        ms = 1e3 * (now - self.t)
+        self.laps[name] = self.laps.get(name, 0.0) + round(ms, 1)
         if self.verbose:
-            now = time.perf_counter()
             print(
-                f"patolette ======== [{name}] {1e3 * (now - self.t):.1f} ms",
+                f"patolette ======== [{name}] {ms:.1f} ms",
                 flush=True,
             )
-            self.t = now
+        self.t = now
 
 
 # --------------------------------------------------------------------------
@@ -265,7 +281,7 @@ def _quantize_via_samples(width, height, colors, p, *, palette_only, csp,
         lut = LUT.build_lut_device(centers, valid, csp, LUT.lut_dtype(p))
         lut_np = wire.get_1d(lut)
         timer.lap("lut-build+pull")
-        palette_map = LUT.lut_map_host(colors, lut_np).astype(np.int32)
+        palette_map = LUT.lut_map_host(colors, lut_np)
         timer.lap("lut-map-host")
 
     palette = _finish_palette(centers, valid_np, p, csp)
@@ -451,9 +467,7 @@ def quantize(
             lut = LUT.build_lut_device(
                 palette_work, valid, csp, LUT.lut_dtype(p)
             )
-            palette_map = LUT.lut_map_host(
-                colors, wire.get_1d(lut)
-            ).astype(np.int32)
+            palette_map = LUT.lut_map_host(colors, wire.get_1d(lut))
         else:
             _log(verbose, "NN mapping")
             palette_map = _nn_map_stage_planar(

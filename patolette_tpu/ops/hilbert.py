@@ -30,12 +30,17 @@ def curve_order(width: int, height: int) -> int:
 
 def xy_to_d(x, y, order: int):
     """Distance along the Hilbert curve of order ``order`` for integer
-    coordinate arrays ``x``, ``y`` (vectorized, O(order) vector ops)."""
+    coordinate arrays ``x``, ``y`` (vectorized, O(order) vector ops).
+
+    uint32 is exact through order 16: the curve has 4^order cells, so
+    d <= 4^16 - 1 = 2^32 - 1, and every accumulation term s*s*t <= 3*2^30
+    fits too. Order 16 (sides up to 65536) covers the reference's full
+    40000x40000 validation cap (patolette.c:92, riemersma.c:124-144).
+    Beyond 16 the x64 mode sorts a uint64 d exactly.
+    """
     x = x.astype(jnp.uint32)
     y = y.astype(jnp.uint32)
-    # d fits uint32 up to order 15 (4^15 < 2^32); beyond that uint64
-    # requires x64 mode (guarded in pixel_visit_order).
-    ddtype = jnp.uint32 if order <= 15 else jnp.uint64
+    ddtype = jnp.uint32 if order <= 16 else jnp.uint64
     d = jnp.zeros_like(x, dtype=ddtype)
     s = 1 << (order - 1)  # Python int: loop bound is static under jit
     while s > 0:
@@ -60,12 +65,11 @@ def pixel_visit_order(width: int, height: int):
     ``perm[i]`` is the row-major index of the i-th pixel visited.
     """
     order = curve_order(width, height)
-    if order > 15 and not jax.config.jax_enable_x64:
-        # d values exceed uint32 beyond order 15 (side > 32768); the x64
-        # mode sorts them exactly. TPU-side dither for >32768px sides is
-        # deferred (the 40000px validation cap still admits such images).
+    if order > 16 and not jax.config.jax_enable_x64:
+        # unreachable through the public API: the 40000px validation cap
+        # (utils/errors.py, patolette.c:92) bounds order at 16
         raise NotImplementedError(
-            "Hilbert order > 15 requires jax_enable_x64 for exact curve "
+            "Hilbert order > 16 requires jax_enable_x64 for exact curve "
             "sorting"
         )
     idx = jnp.arange(width * height, dtype=jnp.uint32)

