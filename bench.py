@@ -70,14 +70,15 @@ def main():
     run()  # warm-up / compile (persistent-cache hit => seconds, miss => min)
     warmup_s = time.perf_counter() - t0
 
-    times, stage_laps = [], {}
+    times, laps = [], []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
         run()
         times.append(time.perf_counter() - t0)
-        stage_laps = dict(pipeline.LAST_STAGE_TIMES)
+        laps.append(dict(pipeline.LAST_STAGE_TIMES))
 
     best = min(times)
+    stage_laps = laps[times.index(best)]
     mps = (WIDTH * HEIGHT) / 1e6 / best
     print(json.dumps({
         "metric": "megapixels_per_sec_per_chip_256color_100mp_kmeans25",

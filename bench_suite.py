@@ -48,13 +48,14 @@ def run_config(name, w, h, palette, reps=2, **kw):
     t0 = time.perf_counter()
     pal, pmap = once()  # warm-up/compile
     warmup = time.perf_counter() - t0
-    times, stages = [], {}
+    times, laps = [], []
     for _ in range(reps):
         t0 = time.perf_counter()
         pal, pmap = once()
         times.append(time.perf_counter() - t0)
-        stages = dict(pipeline.LAST_STAGE_TIMES)
+        laps.append(dict(pipeline.LAST_STAGE_TIMES))
     best = min(times)
+    stages = laps[times.index(best)]
     rec = {
         "config": name,
         "pixels": w * h,

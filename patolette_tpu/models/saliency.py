@@ -209,9 +209,15 @@ def get_weights(img_srgb, tile_size: float):
     return get_weights_planar(planar, rows, cols, tile_size)
 
 
-def get_weights_planar(channels, rows: int, cols: int, tile_size: float):
+def get_weights_planar(channels, rows: int, cols: int, tile_size: float,
+                       total_pixels: int | None = None):
     """Planar-channel saliency: ``channels`` is a 3-tuple of (rows*cols,)
-    or (rows, cols) sRGB arrays. See :func:`get_weights`."""
+    or (rows, cols) sRGB arrays. See :func:`get_weights`.
+
+    ``total_pixels`` overrides the area factor in the final weight formula
+    ``1 + sal^2 * area / tile_size^2`` (pyx:313) — used by the per-strip
+    sharded path, where ``rows`` is only the strip height but weights must
+    keep the full-image scale."""
     if rows <= 3 or cols <= 3:
         return None
     r, g, b = (ch.reshape(rows, cols).astype(jnp.float32)
@@ -248,4 +254,5 @@ def get_weights_planar(channels, rows: int, cols: int, tile_size: float):
     sal = sal / jnp.maximum(jnp.max(sal), 1e-30)
     sal = 1.0 / (1.0 + jnp.exp(-10.0 * (sal - 0.5)))  # pyx:306-312
 
-    return 1.0 + sal.reshape(-1) ** 2 * (rows * cols) / (tile_size**2)
+    area = rows * cols if total_pixels is None else int(total_pixels)
+    return 1.0 + sal.reshape(-1) ** 2 * area / (tile_size**2)

@@ -67,3 +67,82 @@ def test_sharded_saliency_weights(mesh8):
         tile_size=128,
     )
     assert ok and pmap is not None
+
+
+def test_sharded_u8_matches_f32(mesh8):
+    """uint8 images ride the planar byte wire; results must match the same
+    image uploaded as f32 (the normalization happens on device)."""
+    h, w = 64, 64
+    rng = np.random.default_rng(7)
+    img_u8 = rng.integers(0, 256, (h * w, 3), dtype=np.uint8)
+    img_f32 = img_u8.astype(np.float32) / 255.0
+    common = dict(dither=False, tile_size=0, kmeans_niter=3, mesh=mesh8)
+    ok_u, pal_u, map_u, _ = pt.quantize(w, h, img_u8, 8, **common)
+    ok_f, pal_f, map_f, _ = pt.quantize(w, h, img_f32, 8, **common)
+    assert ok_u and ok_f
+    np.testing.assert_allclose(pal_u, pal_f, rtol=1e-4, atol=1e-4)
+    assert (map_u == map_f).mean() > 0.999
+
+
+def test_sharded_per_strip_saliency_runs(mesh8):
+    """Per-strip MBD path (strip_h > 3): weights computed inside the mesh,
+    full pipeline with dither; weights must be >= 1 by the formula."""
+    from patolette_tpu.parallel import mesh as PM
+
+    h, w = 64, 32  # strip_h = 8 > 3 -> per-strip branch
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (h * w, 3), dtype=np.uint8)
+    channels = PM.put_planar_sharded(img, mesh8)
+    wts = PM.saliency_sharded(mesh8, w, h // 8, 128.0, total_pixels=h * w)(
+        channels
+    )
+    wts = np.asarray(wts)
+    assert wts.shape == (h * w,)
+    assert (wts >= 1.0).all() and np.isfinite(wts).all()
+
+    ok, pal, pmap, _ = pt.quantize(
+        w, h, img, 8, dither=True, tile_size=128, kmeans_niter=2,
+        mesh=mesh8, dither_segment=64,
+    )
+    assert ok and pmap.shape == (h * w,)
+
+
+def test_sharded_lq_max_samples(mesh8):
+    """Per-shard GQ/LQ subsampling: quality stays close to the full search
+    on a well-separated image."""
+    h, w = 64, 64
+    colors = _image(h, w, seed=9)
+    ok, pal, pmap, _ = pt.quantize(
+        w, h, colors, 8, dither=False, tile_size=0, kmeans_niter=5,
+        mesh=mesh8, lq_max_samples=1024,
+    )
+    assert ok
+    # 6 well-separated gaussians -> sampled search still lands centers on
+    # them; every pixel's palette entry is nearby
+    err = np.abs(pal[pmap] - colors).mean()
+    assert err < 0.05
+
+
+def test_sharded_dither_planar_matches_interleaved(mesh8):
+    """The planar per-strip dither must produce the interleaved scan's
+    exact map (same strip inputs, sRGB working space)."""
+    import jax.numpy as jnp
+    from patolette_tpu.parallel import mesh as PM
+
+    h, w = 64, 16
+    rng = np.random.default_rng(10)
+    colors = rng.uniform(0, 1, (h * w, 3)).astype(np.float32)
+    pal = rng.uniform(0, 1, (8, 3)).astype(np.float32)
+    valid = jnp.ones(8, bool)
+
+    fn_i = PM.dither_sharded(mesh8, w, h, color_space=0, segment=64)
+    map_i = np.asarray(fn_i(
+        PM.shard_pixels(jnp.asarray(colors), mesh8), jnp.asarray(pal), valid
+    ))
+
+    fn_p = PM.dither_sharded(mesh8, w, h, color_space=0, segment=64,
+                             planar=True)
+    map_p = np.asarray(fn_p(
+        PM.put_planar_sharded(colors, mesh8), jnp.asarray(pal), valid
+    ))
+    np.testing.assert_array_equal(map_i, map_p)
