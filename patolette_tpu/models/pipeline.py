@@ -25,6 +25,7 @@ Conscious divergences from the reference (all documented in README):
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Optional
 
@@ -57,6 +58,20 @@ def _log(verbose, msg):
 # the round-2 3.2 s LUT regression went unattributed until measured
 # externally).
 LAST_STAGE_TIMES: dict[str, float] = {}
+
+
+# Debug-only per-stage attribution: dispatches are async (and over the axon
+# tunnel even block_until_ready does not truly sync), so a stage lap normally
+# times "host work + dispatch" and the device compute lands at the next pull.
+# PATOLETTE_SYNC_STAGES=1 forces a 1-element pull at each lap so laps carry
+# their own device time — at the cost of breaking async pipelining (never on
+# for benchmarks; purely for attributing regressions).
+_SYNC_STAGES = os.environ.get("PATOLETTE_SYNC_STAGES", "0") == "1"
+
+
+def _sync_stage(x):
+    if _SYNC_STAGES and x is not None and not isinstance(x, np.ndarray):
+        np.asarray(wire._slice_1d(x.reshape(-1), 0, 1))
 
 
 class _StageTimer:
@@ -211,6 +226,7 @@ def _gq_lq_palette(x_lq, w_lq, p, batch_splits, verbose, timer):
         x_lq, w_lq, buckets, cuts, jnp.int32(k0), p,
         batch_splits=max(1, int(batch_splits)),
     )
+    _sync_stage(centers)
     timer.lap("lq")
     return labels, count, centers, valid
 
@@ -272,6 +288,7 @@ def _quantize_via_samples(width, height, colors, p, *, palette_only, csp,
         centers = _kmeans_on_samples(
             x_km, w_km, centers, valid, int(kmeans_niter)
         )
+        _sync_stage(centers)
         timer.lap("kmeans")
 
     valid_np = np.asarray(valid)
@@ -279,7 +296,9 @@ def _quantize_via_samples(width, height, colors, p, *, palette_only, csp,
     if not palette_only:
         _log(verbose, "NN mapping (24-bit LUT)")
         lut = LUT.build_lut_device(centers, valid, csp, LUT.lut_dtype(p))
-        lut_np = wire.get_1d(lut)
+        _sync_stage(lut)
+        timer.lap("lut-build")
+        lut_np = LUT.pull_lut(lut)
         timer.lap("lut-build+pull")
         palette_map = LUT.lut_map_host(colors, lut_np)
         timer.lap("lut-map-host")
@@ -467,7 +486,7 @@ def quantize(
             lut = LUT.build_lut_device(
                 palette_work, valid, csp, LUT.lut_dtype(p)
             )
-            palette_map = LUT.lut_map_host(colors, wire.get_1d(lut))
+            palette_map = LUT.lut_map_host(colors, LUT.pull_lut(lut))
         else:
             _log(verbose, "NN mapping")
             palette_map = _nn_map_stage_planar(

@@ -11,8 +11,9 @@ MXU and there is no pointer-chasing data structure (SURVEY.md section 7).
 
 The distance matrix is never materialized for the full pixel array: pixels
 stream through in chunks under ``lax.scan`` (XLA) so the transient is
-``chunk x k``. A fused Pallas kernel for the same computation lives in
-:mod:`patolette_tpu.ops.assign_pallas` and is used on TPU when available.
+``chunk x k``. (A fused Pallas variant was A/B'd on chip in rounds 2-3 and
+lost to this XLA formulation — Mosaic pads the 3-wide operand to 128
+lanes — so it was removed; see git history.)
 """
 
 from __future__ import annotations
@@ -21,14 +22,6 @@ import jax
 import jax.numpy as jnp
 
 _DEFAULT_CHUNK = 65536
-
-# The (tile, 3) narrow layout forces Mosaic to pad lanes 3 -> 128, so the
-# current Pallas assign kernel loses to XLA's chunked matmul-argmin; off by
-# default until the packed/transposed-layout variant lands.
-import os
-
-_USE_PALLAS_ASSIGN = os.environ.get("PATOLETTE_PALLAS_ASSIGN", "0") == "1"
-
 
 def _assign_block(x, centers, c2, valid):
     """labels, dists for one block. centers: (K,3); c2: (K,) squared norms."""
@@ -59,18 +52,6 @@ def assign(colors, centers, valid=None, chunk=_DEFAULT_CHUNK,
     ``knn_L2sqr`` and FLANN's exact search.
     """
     n = colors.shape[0]
-
-    if (
-        _USE_PALLAS_ASSIGN
-        and jax.default_backend() == "tpu"
-        and centers.shape[0] <= 4096
-        and colors.dtype == jnp.float32
-    ):
-        from patolette_tpu.ops.assign_pallas import assign_tpu
-
-        labels, dists = assign_tpu(colors, centers, valid=valid)
-        return (labels, dists) if with_distances else labels
-
     c2 = jnp.sum(centers * centers, axis=-1)
 
     if n <= chunk:

@@ -452,12 +452,18 @@ def nn_map(colors_work, palette_work):
 
 
 def quantize_ref(colors_srgb, palette_size, color_space=2, weights=None,
-                 kmeans_niter=32, kmeans_max_samples=512**2):
-    """Reference pipeline (no dither): sRGB colors -> (palette_srgb, map).
+                 kmeans_niter=32, kmeans_max_samples=512**2,
+                 dither_shape=None):
+    """Reference pipeline: sRGB colors -> (palette_srgb, map).
 
     Mirrors patolette.c:157-343 with the Q4/Q5 *documented* behavior (NN map
     always in ICtCp; palette returned in sRGB) — the two conscious
     divergences of the framework under test (README table).
+
+    ``dither_shape``: an optional ``(width, height)`` — runs the exact
+    serial Riemersma dither (patolette.c:268-299: colors + palette to
+    linear Rec2020, then riemersma.c:437) via the native oracle
+    (patolette_tpu/native/oracle.cpp) instead of the NN map.
     """
     colors_srgb = np.asarray(colors_srgb, np.float64)
     x = srgb_to_working(colors_srgb, color_space)
@@ -471,8 +477,22 @@ def quantize_ref(colors_srgb, palette_size, color_space=2, weights=None,
         centers = kmeans_refine(x, w, centers, kmeans_niter,
                                 kmeans_max_samples)
 
-    # NN map in ICtCp (patolette.c:140 documented semantics / quirk Q4)
     pal_srgb = working_to_srgb(centers, color_space)
+    if dither_shape is not None:
+        from patolette_tpu import native
+
+        assert native.available(), native.build_error()
+        width, height = dither_shape
+        cw = np.array([0.51254268114958, 0.8234075540095561,
+                       0.2435159132377184])  # riemersma.c:38-42
+        pmap = native.riemersma_dither(
+            srgb_to_linear_rec2020(colors_srgb),
+            width, height,
+            srgb_to_linear_rec2020(np.clip(pal_srgb, 0.0, 1.0)), cw,
+        )
+        return pal_srgb, pmap
+
+    # NN map in ICtCp (patolette.c:140 documented semantics / quirk Q4)
     ci = srgb_to_ictcp(colors_srgb)
     pi = srgb_to_ictcp(pal_srgb)
     pmap = nn_map(ci, pi)

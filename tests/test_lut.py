@@ -52,6 +52,49 @@ def test_lut_matches_direct_assign(color_space):
     np.testing.assert_array_equal(via_lut, direct)
 
 
+def test_rle_pull_roundtrip():
+    """pull_lut's RLE wire format is lossless, incl. the multi-chunk path."""
+    rng = np.random.default_rng(13)
+    # ~1M runs -> exercises the chunked (> _RLE_STEP runs) pull
+    runs = 1_000_000
+    pos = np.sort(
+        rng.choice(LUT.LUT_SIZE - 1, size=runs - 1, replace=False) + 1
+    )
+    vals = rng.integers(0, 256, size=runs).astype(np.uint8)
+    # forbid equal adjacent values (they'd merge into one run on device)
+    same = np.flatnonzero(vals[1:] == vals[:-1])
+    vals[same + 1] = ((vals[same + 1].astype(np.int32) + 1) % 256).astype(
+        np.uint8
+    )
+    host = np.repeat(vals, np.diff(np.concatenate([[0], pos, [LUT.LUT_SIZE]])))
+    dev = jnp.asarray(host)
+    np.testing.assert_array_equal(LUT.pull_lut(dev), host)
+
+    # tiny-run table: single-chunk path
+    host2 = np.zeros(LUT.LUT_SIZE, np.uint8)
+    host2[12345:] = 7
+    host2[LUT.LUT_SIZE - 3:] = 250
+    np.testing.assert_array_equal(LUT.pull_lut(jnp.asarray(host2)), host2)
+
+
+def test_rle_pull_overflow_falls_back():
+    """A table with more runs than MAX_RUNS falls back to the full pull."""
+    host = np.arange(LUT.LUT_SIZE, dtype=np.int64) % 2
+    host = host.astype(np.uint8)  # 16.7M runs >> MAX_RUNS
+    np.testing.assert_array_equal(LUT.pull_lut(jnp.asarray(host)), host)
+
+
+def test_grid_cache_reuse():
+    """Repeated builds in one space reuse the cached grid; switching spaces
+    evicts (single-entry cache: each grid is 201 MB)."""
+    LUT.clear_grid_cache()
+    g1 = LUT.grid_ictcp(2)
+    assert LUT.grid_ictcp(2) is g1
+    LUT.grid_ictcp(1)
+    assert 2 not in LUT._GRID_CACHE
+    LUT.clear_grid_cache()
+
+
 def test_lut_dtype_widths():
     assert LUT.lut_dtype(256) == jnp.uint8
     assert LUT.lut_dtype(257) == jnp.uint16
