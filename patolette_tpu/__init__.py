@@ -1,6 +1,6 @@
 """patolette-tpu: a TPU-native color quantization + dithering engine.
 
-Brand-new JAX/XLA/Pallas implementation with the full capability set of the
+Brand-new JAX/XLA implementation with the full capability set of the
 CPU reference library *patolette* (weighted Wu PCA quantization with
 non-axis-aligned principal-axis splits, CIEL*u*v* / ICtCp / sRGB working
 spaces, minimum-barrier-distance saliency weighting, weighted KMeans palette
