@@ -291,10 +291,11 @@ def _quantize_via_samples(width, height, colors, p, *, palette_only, csp,
         _sync_stage(centers)
         timer.lap("kmeans")
 
-    valid_np = np.asarray(valid)
     palette_map = None
     if not palette_only:
         _log(verbose, "NN mapping (24-bit LUT)")
+        # dispatch the LUT build before any host sync: the valid-mask pull
+        # below then rides the same round trip window
         lut = LUT.build_lut_device(centers, valid, csp, LUT.lut_dtype(p))
         _sync_stage(lut)
         timer.lap("lut-build")
@@ -303,7 +304,7 @@ def _quantize_via_samples(width, height, colors, p, *, palette_only, csp,
         palette_map = LUT.lut_map_host(colors, lut_np)
         timer.lap("lut-map-host")
 
-    palette = _finish_palette(centers, valid_np, p, csp)
+    palette = _finish_palette(centers, np.asarray(valid), p, csp)
     return True, palette, palette_map, errors.exit_code_message(
         errors.ExitCode.SUCCESS
     )
@@ -467,7 +468,6 @@ def quantize(
         timer.lap("kmeans")
 
     palette_work = centers
-    valid_np = np.asarray(valid)
 
     palette_map = None
     if not palette_only:
@@ -479,9 +479,11 @@ def quantize(
                 xp_work, palette_work, valid, width, height, csp,
                 segment=dither_segment,
             )
-        elif lut_eligible and n > LUT.LUT_SIZE:
-            # image already on device for weights, but the map download is
-            # cheaper as the fixed 16.7 MB table than as n indices
+        elif lut_eligible and n >= LUT_MIN_PIXELS:
+            # image already on device (weights path), but the map download
+            # is cheaper as the RLE-coded table + host gather than as n
+            # direct indices: ~60 ms argmin from the cached grid + ~4 B/run
+            # vs n bytes at ~32 MB/s (break-even ~4 MP, measured config 2)
             _log(verbose, "NN mapping (24-bit LUT)")
             lut = LUT.build_lut_device(
                 palette_work, valid, csp, LUT.lut_dtype(p)
@@ -497,7 +499,7 @@ def quantize(
         timer.lap("dither" if dither else "nn-map")
 
     # --- palette to sRGB + [-1] fill (patolette.c:328-336) -----------------
-    palette = _finish_palette(palette_work, valid_np, p, csp)
+    palette = _finish_palette(palette_work, np.asarray(valid), p, csp)
     return True, palette, palette_map, errors.exit_code_message(
         errors.ExitCode.SUCCESS
     )
@@ -721,7 +723,6 @@ def _quantize_sharded(width, height, colors, p, mesh, n_shards, *, dither,
     )
     out = fn(channels, w_full)
     palette_work, valid = out[0], out[1]
-    valid_np = np.asarray(valid)
     timer.lap("palette (sharded)")
 
     palette_map = None
@@ -738,7 +739,7 @@ def _quantize_sharded(width, height, colors, p, mesh, n_shards, *, dither,
         palette_map = wire.get_palette_map(palette_map, p)
         timer.lap("dither" if dither else "nn-map")
 
-    palette = _finish_palette(palette_work, valid_np, p, csp)
+    palette = _finish_palette(palette_work, np.asarray(valid), p, csp)
     return True, palette, palette_map, errors.exit_code_message(
         errors.ExitCode.SUCCESS
     )

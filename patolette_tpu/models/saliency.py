@@ -39,16 +39,24 @@ from patolette_tpu.ops import colorspace as cs
 # --------------------------------------------------------------------------
 
 def _skew(a):
-    """(rows, cols) -> (rows, rows+cols-1) with S[x, x+y] = A[x, y]."""
+    """(rows, cols) -> (rows, rows+cols-1) with S[x, x+y] = A[x, y].
+
+    Pure pad + reshape, no scatter: padding each row to width cols+rows
+    and reflowing at width cols+rows-1 shifts row x right by exactly x
+    (flat index x*(cols+rows) + y = x*(W2) + (x+y) with W2 = cols+rows-1).
+    TPU scatters run far slower than reshapes (see ops docs / r3 notes).
+    """
     rows, cols = a.shape
-    out = jnp.zeros((rows, rows + cols - 1), a.dtype)
-    idx = jnp.arange(cols)[None, :] + jnp.arange(rows)[:, None]
-    return out.at[jnp.arange(rows)[:, None], idx].set(a)
+    w2 = rows + cols - 1
+    flat = jnp.pad(a, ((0, 0), (0, rows))).reshape(-1)[: rows * w2]
+    return flat.reshape(rows, w2)
 
 
 def _unskew(s, rows, cols):
-    idx = jnp.arange(cols)[None, :] + jnp.arange(rows)[:, None]
-    return s[jnp.arange(rows)[:, None], idx]
+    """Inverse of :func:`_skew`: A[x, y] = flat(S)[x*(W2+1) + y]."""
+    w2 = rows + cols - 1
+    flat = jnp.pad(s.reshape(-1), (0, rows))
+    return flat.reshape(rows, w2 + 1)[:, :cols]
 
 
 def _wavefront_pass(img, l, u, d, inverse: bool):
@@ -122,7 +130,10 @@ def _wavefront_pass(img, l, u, d, inverse: bool):
         jnp.zeros((rows,), img.dtype),
         jnp.zeros((rows,), img.dtype),
     )
-    _, (ol, ou, od) = jax.lax.scan(step, init, diags)
+    # unroll: each step touches only (rows,)-sized vectors, so the scan is
+    # step-overhead-bound on TPU (3 passes x rows+cols-1 steps); unrolling
+    # amortizes the per-step cost with bit-identical results.
+    _, (ol, ou, od) = jax.lax.scan(step, init, diags, unroll=8)
     if inverse:
         ol, ou, od = ol[::-1], ou[::-1], od[::-1]
     l_new = _unskew(ol.T, rows, cols)
