@@ -87,7 +87,11 @@ def main():
     t0 = time.perf_counter()
     run()  # warm-up / compile (persistent-cache hit => seconds, miss => min)
     warmup_s = time.perf_counter() - t0
-    cache_misses = max(0, _cache_entries() - cache_before)
+    # -1 = unknown (no persistent cache dir configured); the count also
+    # assumes no concurrent process writes the shared cache directory.
+    cache_misses = (
+        -1 if cache_before < 0 else max(0, _cache_entries() - cache_before)
+    )
 
     times, laps = [], []
     for _ in range(REPEATS):

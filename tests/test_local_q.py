@@ -94,3 +94,47 @@ class TestLQ:
         labels0 = jnp.zeros(len(colors), jnp.int32)
         labels, count = LQ.lq_quantize(jnp.asarray(colors), None, labels0, 1, 1)
         assert int(count) == 1
+
+    def test_exact_range_parity(self):
+        """The reference-parity S7 knob (exact [min, max] projection range,
+        sort.c:58-60) must stay functional: same blob recovery and centers
+        as the default analytic range (ADVICE r3: the segmented
+        segment_min/max path had no coverage)."""
+        colors, gid = _blobs(MEANS4)
+        labels0 = jnp.zeros(len(colors), jnp.int32)
+        labels, count = LQ.lq_quantize(
+            jnp.asarray(colors), None, labels0, 1, 4, exact_range=True
+        )
+        labels, count = np.asarray(labels), int(count)
+        assert count == 4
+        for g in range(4):
+            _, cnts = np.unique(labels[gid == g], return_counts=True)
+            assert cnts.max() / cnts.sum() > 0.99
+        centers, _ = PAL.centers_from_labels(
+            jnp.asarray(colors), None, jnp.asarray(labels), 4
+        )
+        found = sorted(tuple(np.round(c)) for c in np.asarray(centers))
+        expected = sorted(tuple(map(float, m)) for m in MEANS4)
+        for f, e in zip(found, expected):
+            assert np.linalg.norm(np.array(f) - np.array(e)) < 2.0
+
+    def test_exact_range_weighted_matches_default_blobs(self):
+        """On well-separated blobs both range modes pick the same splits."""
+        colors, _ = _blobs(MEANS4, spread=0.2, per=200, seed=3)
+        w = np.abs(np.random.default_rng(4).normal(2.0, 0.5, len(colors)))
+        labels0 = jnp.zeros(len(colors), jnp.int32)
+        la, ca = LQ.lq_quantize(
+            jnp.asarray(colors), jnp.asarray(w.astype(np.float32)),
+            labels0, 1, 4, exact_range=True,
+        )
+        lb, cb = LQ.lq_quantize(
+            jnp.asarray(colors), jnp.asarray(w.astype(np.float32)),
+            labels0, 1, 4, exact_range=False,
+        )
+        assert int(ca) == int(cb) == 4
+        # same partition up to label renaming
+        pa = np.asarray(la)
+        pb = np.asarray(lb)
+        for g in np.unique(pa):
+            vals = np.unique(pb[pa == g])
+            assert len(vals) == 1

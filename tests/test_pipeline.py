@@ -59,6 +59,33 @@ class TestValidation:
         )
         assert not ok and "tile_size" in msg
 
+    def test_internal_error_returns_bad_quant(self, monkeypatch):
+        """Fault injection: a device/runtime failure mid-pipeline surfaces
+        as the reference's typed -1 contract (False, None, None, message)
+        instead of a raw traceback (patolette.c:26-38,219-225)."""
+        from patolette_tpu.models import pipeline
+        from patolette_tpu.utils import errors
+
+        def boom(*a, **kw):
+            raise RuntimeError("injected device failure")
+
+        monkeypatch.setattr(pipeline, "_gq_bucket_stage", boom)
+        colors, _, _ = _posterized_image()
+        ok, pal, pmap, msg = pt.quantize(
+            64, 64, colors, 8, dither=False, tile_size=0, kmeans_niter=0
+        )
+        assert ok is False and pal is None and pmap is None
+        assert msg.startswith(
+            errors.exit_code_message(errors.ExitCode.BAD_QUANT)
+        )
+        assert "injected device failure" in msg
+
+    def test_validation_errors_not_wrapped(self):
+        """Validation failures keep their specific messages — only internal
+        failures collapse to the -1 message."""
+        ok, _, _, msg = pt.quantize(0, 2, np.zeros((0, 3)), 4)
+        assert not ok and "Internal" not in msg
+
 
 class TestExactRecovery:
     @pytest.mark.parametrize("space", [
