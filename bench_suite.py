@@ -56,6 +56,21 @@ def run_config(name, w, h, palette, reps=2, **kw):
         laps.append(dict(pipeline.LAST_STAGE_TIMES))
     best = min(times)
     stages = laps[times.index(best)]
+
+    # One extra diagnostic pass with sync-staged laps: async laps bill
+    # device work to the next host sync, so without this the committed
+    # artifact misattributes stage time (VERDICT r3 weak #5). The sync pass
+    # is NOT the headline wall (the per-stage pulls break async
+    # pipelining); sync_lap_sum ~~ sync_wall by construction.
+    prev = pipeline.set_sync_stages(True)
+    try:
+        t0 = time.perf_counter()
+        once()
+        sync_wall = time.perf_counter() - t0
+        stages_sync = dict(pipeline.LAST_STAGE_TIMES)
+    finally:
+        pipeline.set_sync_stages(prev)
+
     rec = {
         "config": name,
         "pixels": w * h,
@@ -66,7 +81,9 @@ def run_config(name, w, h, palette, reps=2, **kw):
         if pmap is not None
         else None,
         "warmup_s": round(warmup, 1),
-        "stages_ms": stages,
+        "stages_ms_async": stages,
+        "stages_ms_sync": stages_sync,
+        "sync_wall_s": round(sync_wall, 3),
     }
     print(json.dumps(rec), flush=True)
     return rec

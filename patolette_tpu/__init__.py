@@ -25,9 +25,36 @@ import os as _os
 if not _os.environ.get("PATOLETTE_NO_JIT_CACHE"):
     import jax as _jax
 
+    # Per-platform subdirectory, with the HOST CPU fingerprint baked into
+    # the CPU dir name: XLA:CPU cache entries are AOT machine code, and
+    # loading an entry compiled on a host with different CPU features
+    # segfaults (observed r4: "Machine type used for XLA:CPU compilation
+    # doesn't match ... could lead to SIGILL", then a hard crash late in
+    # the test suite). Distinct dirs also remove concurrent-writer
+    # collisions between a CPU test run and a TPU bench. Read the
+    # CONFIGURED platform only — default_backend() would initialize the
+    # backend at import time, breaking init_distributed-after-import.
+    _platform = (
+        getattr(_jax.config, "jax_platforms", None)
+        or _os.environ.get("JAX_PLATFORMS")
+        or "default"
+    ).split(",")[0] or "default"
+    if _platform in ("cpu", "default"):
+        import hashlib as _hashlib
+
+        try:
+            with open("/proc/cpuinfo") as _f:
+                _flags = next(
+                    (ln for ln in _f if ln.startswith("flags")), ""
+                )
+            _platform += "-" + _hashlib.sha256(
+                _flags.encode()
+            ).hexdigest()[:8]
+        except OSError:  # pragma: no cover
+            pass
     _cache_dir = _os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
-        _os.path.expanduser("~/.cache/patolette_tpu/jax"),
+        _os.path.expanduser(f"~/.cache/patolette_tpu/jax-{_platform}"),
     )
     try:
         _os.makedirs(_cache_dir, exist_ok=True)

@@ -55,7 +55,6 @@ def _dither_stream(colors2020, palette2020, valid, width, height, segment):
     qw = _queue_weights(dtype)
 
     perm = hilbert.pixel_visit_order(width, height)
-    stream = jnp.take(colors2020, perm, axis=0)  # (n, 3) in curve order
 
     pal_scaled = palette2020 * chan_w[None, :]
     pal_valid = valid
@@ -63,12 +62,10 @@ def _dither_stream(colors2020, palette2020, valid, width, height, segment):
     seg = int(segment) if segment else n
     seg = max(1, min(seg, n))
     lanes = -(-n // seg)
-    pad = lanes * seg - n
-    if pad:
-        stream = jnp.concatenate(
-            [stream, jnp.zeros((pad, 3), dtype)], axis=0
-        )
-    stream = stream.reshape(lanes, seg, 3).transpose(1, 0, 2)  # (seg, lanes, 3)
+    # step-major gather (see _step_major_perm: feeding a transposed view
+    # through lax.scan reads strided columns every step)
+    perm2 = _step_major_perm(perm, seg, lanes, n)
+    stream = jnp.take(colors2020, perm2, axis=0).reshape(seg, lanes, 3)
 
     def step(queue, px):
         # queue: (lanes, QUEUE, 3); px: (lanes, 3)
@@ -87,16 +84,14 @@ def _dither_stream(colors2020, palette2020, valid, width, height, segment):
         return queue, idx
 
     queue0 = jnp.zeros((lanes, QUEUE, 3), dtype)
-    # unroll: the per-step body is tiny (a (lanes, K) distance + argmin), so
-    # the scan is step-overhead-bound on TPU (~0.25 ms/step measured);
-    # unrolling amortizes it 8x with bit-identical results.
+    # unroll=8: amortize the per-iteration scan overhead
     _, idx_stream = jax.lax.scan(
         step, queue0, stream, unroll=8
     )  # (seg, lanes)
-    idx_flat = idx_stream.transpose(1, 0).reshape(-1)[:n]
 
-    pmap = jnp.zeros((n,), jnp.int32).at[perm].set(idx_flat)
-    return pmap
+    return jnp.zeros((n,), jnp.int32).at[perm2].set(
+        idx_stream.reshape(-1), mode="drop"
+    )
 
 
 def riemersma_dither(colors_working, palette_working, valid, width, height,
@@ -113,67 +108,88 @@ def riemersma_dither(colors_working, palette_working, valid, width, height,
     )
 
 
+def _step_major_perm(perm, seg: int, lanes: int, n: int):
+    """Compose the curve permutation with the lane-major -> step-major
+    transpose, so scan inputs/outputs are CONTIGUOUS (lanes,) slices.
+
+    Feeding ``stream.reshape(lanes, seg).T`` to ``lax.scan`` is a
+    performance trap: XLA does not materialize the transpose, so every
+    step reads a strided column of the big stream — measured 319 ms of a
+    370 ms 8.3 MP scan just to FEED it (r4 ablation). Transposing the
+    int32 index array once (33 MB, ~ms) and gathering pixels directly
+    into step-major order removes that entirely; the (step, lane) ->
+    pixel mapping is unchanged, so results stay bit-identical.
+
+    Pad slots point past the end (index n): gathers clip to the last
+    element (harmless garbage lanes), and the inverse scatter drops them
+    via ``mode="drop"``.
+    """
+    pad = lanes * seg - n
+    if pad:
+        perm = jnp.concatenate(
+            [perm.astype(jnp.int32), jnp.full((pad,), n, jnp.int32)]
+        )
+    return perm.reshape(lanes, seg).T.reshape(-1)  # (seg * lanes,)
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height", "segment"))
 def _dither_stream_planar(ch2020, palette2020, valid, width, height,
                           segment):
     """Channel-planar segmented dither scan.
 
     Same math as :func:`_dither_stream`, but pixels stay as three (N,)
-    channel vectors: streams are (lanes, seg) per channel, the error queue
-    is (QUEUE, lanes) per channel (queue depth in SUBLANES — the minor dim
-    is the lane axis), and the per-step distance matrix is built from
-    rank-1 channel broadcasts. No lane-padded (N, 3) intermediates.
+    channel vectors: streams are (seg, lanes) per channel (step-major via
+    :func:`_step_major_perm`), the error queue is (QUEUE, lanes) per
+    channel (queue depth in SUBLANES — the minor dim is the lane axis),
+    and the per-step distance matrix is built from rank-1 channel
+    broadcasts. No lane-padded (N, 3) intermediates.
     """
     n = width * height
     dtype = ch2020[0].dtype
     chan_w = (R_WEIGHT, G_WEIGHT, B_WEIGHT)
-    qw = _queue_weights(dtype)[:, None]  # (QUEUE, 1)
 
     perm = hilbert.pixel_visit_order(width, height)
 
     seg = int(segment) if segment else n
     seg = max(1, min(seg, n))
     lanes = -(-n // seg)
-    pad = lanes * seg - n
+    perm2 = _step_major_perm(perm, seg, lanes, n)
 
-    streams = []
-    for ch in ch2020:
-        s = jnp.take(ch, perm)
-        if pad:
-            s = jnp.concatenate([s, jnp.zeros((pad,), dtype)])
-        streams.append(s.reshape(lanes, seg))
+    xs = jnp.stack(
+        [jnp.take(ch, perm2).reshape(seg, lanes) for ch in ch2020], axis=1
+    )  # (seg, 3, lanes)
 
-    pal_scaled = [palette2020[:, k] * chan_w[k] for k in range(3)]
-    ps2 = sum(p * p for p in pal_scaled)  # (K,)
+    chan_wv = jnp.asarray(chan_w, dtype)
+    qwv = _queue_weights(dtype)
+    pal_scaled = palette2020 * chan_wv[None, :]           # (K, 3)
+    ps2 = jnp.sum(pal_scaled * pal_scaled, axis=1)        # (K,)
+    ps2 = jnp.where(valid, ps2, jnp.inf)
+    pal_t = palette2020.T                                  # (3, K)
 
     def step(queues, px):
-        # queues: 3 x (QUEUE, lanes); px: 3 x (lanes,)
-        corrected = [
-            px[k] + jnp.sum(qw * queues[k], axis=0) for k in range(3)
-        ]
-        d = ps2[None, :] - 2.0 * sum(
-            (corrected[k] * chan_w[k])[:, None] * pal_scaled[k][None, :]
-            for k in range(3)
-        )
-        d = jnp.where(valid[None, :], d, jnp.inf)
-        idx = jnp.argmin(d, axis=-1).astype(jnp.int32)
-        new_queues = []
-        for k in range(3):
-            err = px[k] - jnp.take(palette2020[:, k], idx)
-            new_queues.append(
-                jnp.concatenate([queues[k][1:], err[None, :]], axis=0)
-            )
-        return tuple(new_queues), idx
+        # queues: (3, QUEUE, lanes); px: (3, lanes). One stacked op per
+        # stage (a 3-channel-tuple body costs ~4x more per step — r4 A/B:
+        # 221 -> 54 ms of body time at 4K) with the distance as an MXU
+        # (K, 3) x (3, lanes) matmul.
+        corrected = px + jnp.einsum("q,cql->cl", qwv, queues)
+        q = corrected * chan_wv[:, None]
+        d = ps2[:, None] - 2.0 * jnp.dot(
+            pal_scaled, q, precision="highest"
+        )  # (K, lanes)
+        idx = jnp.argmin(d, axis=0).astype(jnp.int32)
+        err = px - jnp.take(pal_t, idx, axis=1)            # (3, lanes)
+        queues = jnp.concatenate([queues[:, 1:], err[:, None, :]], axis=1)
+        return queues, idx
 
-    queues0 = tuple(jnp.zeros((QUEUE, lanes), dtype) for _ in range(3))
-    xs = tuple(s.T for s in streams)  # (seg, lanes) each
+    queues0 = jnp.zeros((3, QUEUE, lanes), dtype)
     # unroll=8: amortize TPU scan-step overhead (see _dither_stream)
     _, idx_stream = jax.lax.scan(
         step, queues0, xs, unroll=8
     )  # (seg, lanes)
-    idx_flat = idx_stream.T.reshape(-1)[:n]
 
-    return jnp.zeros((n,), jnp.int32).at[perm].set(idx_flat)
+    return jnp.zeros((n,), jnp.int32).at[perm2].set(
+        idx_stream.reshape(-1), mode="drop"
+    )
 
 
 def riemersma_dither_planar(channels_working, palette_working, valid,

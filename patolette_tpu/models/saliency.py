@@ -72,24 +72,29 @@ def _wavefront_pass(img, l, u, d, inverse: bool):
     ndiag = rows + cols - 1
     xs_idx = jnp.arange(rows)
 
-    s_img = _skew(img)
-    s_l, s_u, s_d = _skew(l), _skew(u), _skew(d)
+    # (ndiag, rows) layout consumed through the scan's xs: each step then
+    # reads a contiguous leading-axis slice. The earlier form indexed
+    # columns of (rows, ndiag) arrays inside the body — a dynamic slice
+    # along the LANE dimension, which lowers to cross-lane gathers and
+    # dominated the pass cost (bit-identical rework, r4).
+    s_img = _skew(img).T
+    s_l, s_u, s_d = _skew(l).T, _skew(u).T, _skew(d).T
 
+    diags = jnp.arange(ndiag)
     if not inverse:
-        diags = jnp.arange(ndiag)
         x_lo, x_hi = 1, rows - 2
         y_lo, y_hi = 1, cols - 2
     else:
-        diags = jnp.arange(ndiag - 1, -1, -1)
+        s_img, s_l, s_u, s_d = (
+            a[::-1] for a in (s_img, s_l, s_u, s_d)
+        )
+        diags = diags[::-1]
         x_lo, x_hi = 2, rows - 2
         y_lo, y_hi = 2, cols - 2
 
-    def step(carry, dg):
+    def step(carry, inputs):
         pl, pu, pd = carry  # previous diagonal's NEW columns (len rows)
-        il = s_l[:, dg]
-        iu = s_u[:, dg]
-        idd = s_d[:, dg]
-        ix = s_img[:, dg]
+        ix, il, iu, idd, dg = inputs
 
         y = dg - xs_idx
         active = (
@@ -133,7 +138,9 @@ def _wavefront_pass(img, l, u, d, inverse: bool):
     # unroll: each step touches only (rows,)-sized vectors, so the scan is
     # step-overhead-bound on TPU (3 passes x rows+cols-1 steps); unrolling
     # amortizes the per-step cost with bit-identical results.
-    _, (ol, ou, od) = jax.lax.scan(step, init, diags, unroll=8)
+    _, (ol, ou, od) = jax.lax.scan(
+        step, init, (s_img, s_l, s_u, s_d, diags), unroll=8
+    )
     if inverse:
         ol, ou, od = ol[::-1], ou[::-1], od[::-1]
     l_new = _unskew(ol.T, rows, cols)
@@ -228,9 +235,24 @@ def get_weights_planar(channels, rows: int, cols: int, tile_size: float,
     ``total_pixels`` overrides the area factor in the final weight formula
     ``1 + sal^2 * area / tile_size^2`` (pyx:313) — used by the per-strip
     sharded path, where ``rows`` is only the strip height but weights must
-    keep the full-image scale."""
+    keep the full-image scale.
+
+    Jitted as ONE program when called eagerly (the priors are ~80 ops; at
+    4K each eager dispatch rides the tunnel, so one fused program saves
+    most of the stage); transparent when traced into a larger program.
+    """
     if rows <= 3 or cols <= 3:
         return None
+    return _weights_planar_jit(
+        tuple(channels), rows=rows, cols=cols, tile_size=float(tile_size),
+        total_pixels=total_pixels,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "rows", "cols", "tile_size", "total_pixels"
+))
+def _weights_planar_jit(channels, *, rows, cols, tile_size, total_pixels):
     r, g, b = (ch.reshape(rows, cols).astype(jnp.float32)
                for ch in channels)
 

@@ -135,6 +135,10 @@ def _load():
             ctypes.POINTER(ct), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int,
         ]
+    lib.oracle_rle_decode_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_int,
+    ]
     _lib = lib
     return _lib
 
@@ -201,11 +205,17 @@ def mbd(img, iters=3):
     return d
 
 
+LUT_SIZE = 1 << 24
+LUT_PAD = 4  # AVX-512 gather tail window (see oracle.cpp)
+
+
 def lut_map_u8(colors_u8, lut, nthreads: int = 0):
     """Fused 24-bit pack + LUT gather + int32 widen:
     out[i] = int32(lut[r<<16 | g<<8 | b]).
 
-    ``colors_u8``: (N, 3) uint8; ``lut``: (2^24,) uint8/uint16/int32.
+    ``colors_u8``: (N, 3) uint8; ``lut``: (2^24,) uint8/uint16/int32, or an
+    ALREADY-PADDED (2^24 + 4,) table (e.g. from :func:`rle_decode_u8`) —
+    the padded form skips the 16.7 MB defensive tail-pad copy.
     Returns an (N,) int32 array (the public palette-map dtype — the widen
     is fused into the gather), or None when the native library is
     unavailable (caller falls back to numpy)."""
@@ -221,12 +231,15 @@ def lut_map_u8(colors_u8, lut, nthreads: int = 0):
         return None
     fn, ct = fns[lut.dtype]
     colors_u8 = np.ascontiguousarray(colors_u8, np.uint8)
-    # The AVX-512 path gathers 4-byte windows at byte offsets into the u8/u16
-    # table, so the last codes read up to 3 bytes past the end — give the
-    # table a 4-element zero tail (oracle.cpp requires >= 4 padding bytes).
     lut = np.ascontiguousarray(lut)
-    lut_padded = np.zeros(lut.shape[0] + 4, lut.dtype)
-    lut_padded[:lut.shape[0]] = lut
+    if lut.shape[0] == LUT_SIZE + LUT_PAD:
+        lut_padded = lut
+    else:
+        # The AVX-512 path gathers 4-byte windows at byte offsets into the
+        # u8/u16 table, so the last codes read up to 3 bytes past the end —
+        # give the table a 4-element zero tail.
+        lut_padded = np.zeros(lut.shape[0] + LUT_PAD, lut.dtype)
+        lut_padded[:lut.shape[0]] = lut
     n = len(colors_u8)
     out = np.empty((n,), np.int32)
     if not nthreads:
@@ -234,6 +247,24 @@ def lut_map_u8(colors_u8, lut, nthreads: int = 0):
         nthreads = min(8, 2 * (os.cpu_count() or 1))
     fn(_ptr(colors_u8, ctypes.c_uint8), n, _ptr(lut_padded, ct),
        _ptr(out, ctypes.c_int32), nthreads)
+    return out
+
+
+def rle_decode_u8(packed, table_size: int = LUT_SIZE):
+    """Decode the LUT RLE wire format ((pos << 8) | value words, ascending
+    positions) into a PADDED (table_size + 4,) uint8 table, or None when
+    the native library is unavailable. The pad makes the result directly
+    usable by :func:`lut_map_u8` without a copy."""
+    lib = _load()
+    if lib is None:
+        return None
+    packed = np.ascontiguousarray(packed, np.uint32)
+    out = np.zeros(table_size + LUT_PAD, np.uint8)
+    lib.oracle_rle_decode_u8(
+        _ptr(packed, ctypes.c_uint32), len(packed),
+        _ptr(out, ctypes.c_uint8), table_size,
+        min(4, os.cpu_count() or 1),
+    )
     return out
 
 

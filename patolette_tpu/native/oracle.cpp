@@ -367,4 +367,36 @@ void oracle_lut_map_i32(const uint8_t* rgb, long n, const int32_t* lut,
     lut_map_threaded(rgb, n, lut, out, nthreads);
 }
 
+// RLE decode of the LUT wire format (ops/lut.py): packed[i] =
+// (pos << 8) | value with positions strictly ascending; run i covers
+// [pos_i, pos_{i+1}) and the last run extends to table_size. memset per run
+// replaces numpy's np.repeat (measured 15 ms -> ~2 ms at 520k runs/16.7 MB).
+void oracle_rle_decode_u8(const uint32_t* packed, long nruns, uint8_t* out,
+                          long table_size, int nthreads) {
+    if (nruns <= 0) return;
+    auto fill = [packed, nruns, out, table_size](long rlo, long rhi) {
+        for (long r = rlo; r < rhi; r++) {
+            const long pos = (long)(packed[r] >> 8);
+            const long end =
+                (r + 1 < nruns) ? (long)(packed[r + 1] >> 8) : table_size;
+            if (end > pos)
+                memset(out + pos, (int)(packed[r] & 0xFF),
+                       (size_t)(end - pos));
+        }
+    };
+    if (nthreads < 2 || nruns < (1L << 16)) {
+        fill(0, nruns);
+        return;
+    }
+    std::vector<std::thread> ts;
+    const long step = (nruns + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+        const long lo = t * step;
+        const long hi = std::min(nruns, lo + step);
+        if (lo >= hi) break;
+        ts.emplace_back(fill, lo, hi);
+    }
+    for (auto& th : ts) th.join();
+}
+
 }  // extern "C"

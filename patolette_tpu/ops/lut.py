@@ -121,16 +121,20 @@ def _palette_ictcp(palette_working, valid, color_space: int):
 
 @functools.partial(jax.jit, static_argnames=("out_dtype",))
 def _argmin_lut(grid, pi, c2, out_dtype):
+    # (P, chunk) orientation: the palette axis sits on SUBLANES and the
+    # chunk axis on lanes, so the argmin reduces across sublanes — measured
+    # 41 ms vs 63 ms for the (chunk, P) form at P=256 (r4 A/B; bit-identical
+    # outputs: same products, same add order, same first-index tie-break).
     pa, pb, pc = pi[:, 0], pi[:, 1], pi[:, 2]
 
     def body(_, xs):
         xa, xb, xc = xs
-        d = c2[None, :] - 2.0 * (
-            xa[:, None] * pa[None, :]
-            + xb[:, None] * pb[None, :]
-            + xc[:, None] * pc[None, :]
+        d = c2[:, None] - 2.0 * (
+            pa[:, None] * xa[None, :]
+            + pb[:, None] * xb[None, :]
+            + pc[:, None] * xc[None, :]
         )
-        return None, jnp.argmin(d, axis=-1).astype(out_dtype)
+        return None, jnp.argmin(d, axis=0).astype(out_dtype)
 
     _, lut = jax.lax.scan(body, None, grid)
     return lut.reshape(-1)
@@ -177,6 +181,14 @@ def _rle_encode_u8(lut):
 
 
 def _rle_decode(packed: np.ndarray) -> np.ndarray:
+    """Packed runs -> (2^24,) table. Native memset-per-run when available
+    (returns a view into a tail-padded buffer, which lut_map_host detects
+    to skip its defensive pad copy); numpy repeat otherwise."""
+    from patolette_tpu import native
+
+    dec = native.rle_decode_u8(packed)
+    if dec is not None:
+        return dec[:LUT_SIZE]
     pos = (packed >> 8).astype(np.int64)
     vals = (packed & 0xFF).astype(np.uint8)
     lengths = np.diff(np.append(pos, LUT_SIZE))
@@ -189,10 +201,19 @@ def pull_lut(lut_dev) -> np.ndarray:
     if lut_dev.dtype != jnp.uint8:
         return wire.get_1d(lut_dev)
     enc = _rle_encode_u8(lut_dev)
+    out = pull_encoded(enc)
+    if out is None:  # > MAX_RUNS: fall back to the raw 16.7 MB pull
+        return wire.get_1d(lut_dev)
+    return out
+
+
+def pull_encoded(enc) -> np.ndarray | None:
+    """Pull + decode a device ``_rle_encode_u8`` buffer; None when the run
+    count overflowed MAX_RUNS (caller falls back to a raw table pull)."""
     first = np.asarray(wire._slice_1d(enc, 0, _RLE_STEP))
     count = int(first[0])
     if count > MAX_RUNS:
-        return wire.get_1d(lut_dev)
+        return None
     if count <= _RLE_STEP - 1:
         packed = first[1:1 + count]
     else:
@@ -220,6 +241,15 @@ def lut_map_host(colors_u8: np.ndarray, lut: np.ndarray) -> np.ndarray:
     """
     from patolette_tpu import native
 
+    base = getattr(lut, "base", None)
+    if (
+        base is not None
+        and lut.shape[0] == LUT_SIZE
+        and base.shape == (LUT_SIZE + native.LUT_PAD,)
+        and base.dtype == lut.dtype
+        and lut.ctypes.data == base.ctypes.data
+    ):
+        lut = base  # already tail-padded by the native RLE decode
     out = native.lut_map_u8(colors_u8, lut)
     if out is not None:
         return out

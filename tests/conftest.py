@@ -22,6 +22,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 # Opt out of the CPU override with PATOLETTE_TEST_TPU=1 to run on hardware.
 if not os.environ.get("PATOLETTE_TEST_TPU"):
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # No persistent compile cache under pytest: writing certain sharded
+    # XLA:CPU executables segfaults in jax's cache writer late in the
+    # suite (r4, flaky, full-suite state only), and cross-machine CPU AOT
+    # entries can SIGILL on load. CPU compiles are cheap relative to both
+    # failure modes; TPU benches keep their per-platform cache.
+    os.environ.setdefault("PATOLETTE_NO_JIT_CACHE", "1")
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -33,3 +39,23 @@ import jax as _jax
 _jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_jax_state_between_modules():
+    """Free compiled executables after each test module.
+
+    The suite compiles ~200 XLA:CPU programs; with all of them held live,
+    late sharded (8-device) compiles segfault inside XLA
+    (backend_compile_and_load / the cache writer — r4, flaky, full-suite
+    runs only, never in isolation). Dropping executables between modules
+    keeps the compiler's accumulated state small. Cross-module program
+    reuse is minor, so the runtime cost is a few recompiles.
+    """
+    yield
+    _jax.clear_caches()
+    gc.collect()

