@@ -6,7 +6,10 @@ prints one JSON object per config: wall time, MP/s, and the CIELuv MSE of
 the delivered mapping. ``bench.py`` stays the single-line headline bench;
 this suite is the broad table.
 
-Usage: python bench_suite.py [--quick]   (--quick shrinks images 4x)
+Usage: python bench_suite.py [--quick] [--trace DIR]
+  --quick      shrink images 4x
+  --trace DIR  capture one jax.profiler trace per config under DIR/<name>
+               (SURVEY.md section 5; open with tensorboard or xprof)
 """
 
 import json
@@ -14,6 +17,8 @@ import sys
 import time
 
 import numpy as np
+
+TRACE_DIR = None
 
 
 def synth_image(w, h, seed=0):
@@ -64,12 +69,30 @@ def run_config(name, w, h, palette, reps=2, **kw):
     # pipelining); sync_lap_sum ~~ sync_wall by construction.
     prev = pipeline.set_sync_stages(True)
     try:
-        t0 = time.perf_counter()
-        once()
-        sync_wall = time.perf_counter() - t0
-        stages_sync = dict(pipeline.LAST_STAGE_TIMES)
+        # twice, keep the faster: the first sync pass may compile the
+        # per-shape 1-element pull programs (observed: a 66 s "sample-in"
+        # that was really a remote compile)
+        sync_wall, stages_sync = None, None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            once()
+            wall = time.perf_counter() - t0
+            if sync_wall is None or wall < sync_wall:
+                sync_wall = wall
+                stages_sync = dict(pipeline.LAST_STAGE_TIMES)
     finally:
         pipeline.set_sync_stages(prev)
+
+    if TRACE_DIR:
+        # one profiler trace per config (best-effort: the axon tunnel may
+        # not surface device events; host/dispatch timelines still help)
+        import jax
+
+        try:
+            with jax.profiler.trace(f"{TRACE_DIR}/{name}"):
+                once()
+        except Exception as e:  # pragma: no cover
+            print(f"# trace capture failed for {name}: {e}", flush=True)
 
     rec = {
         "config": name,
@@ -90,7 +113,10 @@ def run_config(name, w, h, palette, reps=2, **kw):
 
 
 def main():
+    global TRACE_DIR
     quick = "--quick" in sys.argv
+    if "--trace" in sys.argv:
+        TRACE_DIR = sys.argv[sys.argv.index("--trace") + 1]
     s = 4 if quick else 1
 
     # Config 1: 512x512 -> 256 colors, CIELuv, no dither, no KMeans

@@ -19,6 +19,13 @@ TPU-native reformulation (SURVEY.md section 7, stage 8):
     scanned in lock-step lanes (vmap); the error queue resets at segment
     seams (per-shard dither, BASELINE config 5). ``segment=0`` gives the
     fully serial chain.
+
+Measured quality-vs-segment curve (r4, CIELuv-MSE ratio vs the exact
+serial native oracle, 4-case battery mean): 0.993 at segment 4096, 0.992
+at 2048, 0.992 at 1024, 0.994 at 512, 0.990 at 256, 0.991 at 128 — the
+dither is seam-insensitive across the whole range, and on-chip wall time
+is also flat (417/409/459 ms at 4096/1024/512 for 8.3 MP: the scan is
+gather/compute-bound, not step-count-bound), so the 4096 default stands.
 """
 
 from __future__ import annotations

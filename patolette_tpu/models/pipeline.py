@@ -269,6 +269,84 @@ def _sample_lut_program(sub, w_lq, sub_km, w_km, grid, *, p, csp,
     return pack, lut, enc
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "p", "csp", "tile_size", "kmeans_niter",
+    "kmeans_max_samples", "seed", "lq_max_samples", "lq_batch_splits",
+))
+def _image_lut_program(channels, weights, grid, *, width, height, p, csp,
+                       tile_size, kmeans_niter, kmeans_max_samples, seed,
+                       lq_max_samples, lq_batch_splits):
+    """Full-image variant of :func:`_sample_lut_program`: saliency weights
+    and the GQ/LQ/KMeans subsample draws happen ON DEVICE from the planar
+    image, then the 24-bit LUT is built and RLE-encoded — one program, two
+    pulls. Used when the image must be device-resident anyway (saliency)
+    but the map can still ride the LUT wire (uint8 input, palette <= 256).
+    """
+    if channels[0].dtype == jnp.uint8:
+        s = jnp.float32(1.0 / 255.0)
+        channels = tuple(ch.astype(jnp.float32) * s for ch in channels)
+    w = weights
+    if w is None and tile_size > 0 and height > 3 and width > 3:
+        from patolette_tpu.models import saliency as SAL
+
+        w = SAL.get_weights_planar(channels, height, width, float(tile_size))
+        if w is not None:
+            w = w.reshape(-1)
+    x = cs.srgb_to_working(channels, csp)
+    centers, valid = _palette_core(
+        x, w, p, int(kmeans_niter), int(kmeans_max_samples), int(seed),
+        None, max(1, int(lq_batch_splits)), int(lq_max_samples),
+    )
+    pal_srgb = cs.working_to_srgb(centers, csp)
+    pack = jnp.concatenate(
+        [pal_srgb.reshape(-1), valid.astype(jnp.float32)]
+    )
+    pi, c2 = LUT._palette_ictcp(centers, valid, csp)
+    lut = LUT._argmin_lut(grid, pi, c2, jnp.uint8)
+    enc = LUT._rle_encode_u8(lut)
+    return pack, lut, enc
+
+
+def _quantize_image_fused_lut(width, height, colors, p, *, csp, tile_size,
+                              kmeans_niter, kmeans_max_samples, verbose,
+                              weights, lq_max_samples, lq_batch_splits,
+                              seed, timer):
+    """Host half of the full-image fused LUT path (saliency + u8 + p<=256)."""
+    xp_srgb = wire.put_planar_image(colors)
+    w_in = None if weights is None else wire.put_vector(weights)
+    grid = LUT.grid_ictcp(csp)
+    _sync_stage(xp_srgb[0])
+    timer.lap("stage-in")
+
+    _log(verbose, "Saliency + palette + LUT (fused device program)")
+    pack, lut_dev, enc = _image_lut_program(
+        xp_srgb, w_in, grid, width=int(width), height=int(height), p=p,
+        csp=csp, tile_size=float(tile_size) if weights is None else 0.0,
+        kmeans_niter=int(kmeans_niter),
+        kmeans_max_samples=int(kmeans_max_samples), seed=int(seed),
+        lq_max_samples=int(lq_max_samples),
+        lq_batch_splits=max(1, int(lq_batch_splits)),
+    )
+    _sync_stage(enc)
+    timer.lap("saliency+palette+lut-build")
+
+    lut_np = LUT.pull_encoded(enc)
+    if lut_np is None:
+        lut_np = wire.get_1d(lut_dev)
+    timer.lap("lut-pull")
+    palette_map = LUT.lut_map_host(colors, lut_np)
+    timer.lap("lut-map-host")
+
+    pack_np = np.asarray(pack, np.float64)
+    pal_srgb = pack_np[:3 * p].reshape(p, 3)
+    valid_np = pack_np[3 * p:4 * p] > 0.5
+    palette = np.full((p, 3), -1.0)
+    palette[valid_np] = pal_srgb[valid_np]
+    return True, palette, palette_map, errors.exit_code_message(
+        errors.ExitCode.SUCCESS
+    )
+
+
 def _quantize_via_samples_fused(width, height, colors, p, *, csp,
                                 kmeans_niter, kmeans_max_samples, verbose,
                                 weights, lq_max_samples, lq_batch_splits,
@@ -455,7 +533,17 @@ def _quantize_via_samples(width, height, colors, p, *, palette_only, csp,
 HBM_BUDGET_BYTES = int(
     float(os.environ.get("PATOLETTE_HBM_BUDGET_GB", "12")) * (1 << 30)
 )
-STREAM_STRIP_PIXELS = 1 << 24  # ~16 MP per strip
+# Strip sizing: ~2 strips so uploads, scans, and map pulls pipeline
+# (upload i+1 and pull i-1 overlap strip i's scan), clamped to
+# [4 MP, 16 MP]. Measured at 4K dither: 2 strips 1.00 s, 4 strips 1.20 s
+# (per-strip fixed costs — program dispatch, Hilbert perm, pull RTT —
+# outweigh the extra overlap), 1 strip 1.42 s.
+STREAM_STRIP_MIN = 1 << 22
+STREAM_STRIP_MAX = 1 << 24
+
+
+def _stream_strip_pixels(n: int) -> int:
+    return min(max(n // 2, STREAM_STRIP_MIN), STREAM_STRIP_MAX)
 
 
 def _device_footprint_bytes(n: int, dither: bool) -> int:
@@ -510,10 +598,16 @@ def _quantize_streamed(width, height, colors, p, *, dither, palette_only,
 
     palette_map = None
     if not palette_only:
-        strip_rows = max(1, STREAM_STRIP_PIXELS // max(1, width))
+        strip_rows = max(1, _stream_strip_pixels(n) // max(1, width))
         palette_map = np.empty((n,), np.int32)
         mode = "dither" if dither else "nn-map"
         _log(verbose, f"Streamed {mode}: strips of {strip_rows} rows")
+        # Two-phase pipeline: dispatch every strip's [upload -> convert ->
+        # map program] first (all async — strip i computes while strip
+        # i+1's bytes are still on the wire), THEN pull the maps in order
+        # (each pull overlaps the later strips' device work). A single
+        # fused loop would serialize wire-up, compute, and wire-down.
+        pending = []
         for r0 in range(0, height, strip_rows):
             r1 = min(height, r0 + strip_rows)
             strip = colors[r0 * width:r1 * width]
@@ -528,6 +622,8 @@ def _quantize_streamed(width, height, colors, p, *, dither, palette_only,
                 )
             else:
                 pm = _nn_map_stage_planar(xw, centers, valid, csp)
+            pending.append((r0, r1, pm))
+        for r0, r1, pm in pending:
             palette_map[r0 * width:r1 * width] = wire.get_palette_map(pm, p)
         timer.lap("dither" if dither else "nn-map")
 
@@ -807,6 +903,30 @@ def _quantize_body(
             lq_max_samples=lq_max_samples, seed=seed, timer=timer,
         )
 
+    # --- strip-pipelined dither: the map path is wire-bound (image up +
+    # map down ~= 33 MB at 4K over a ~38 MB/s link), so large dither jobs
+    # run per ~4 MP strip with uploads, scans, and map pulls overlapping
+    # (same seam semantics as the sharded path; quality curve measured
+    # flat in dither.py). Saliency needs the resident full image, so that
+    # combination keeps the full-upload path. -----------------------------
+    if (
+        dither
+        and not palette_only
+        and mesh is None
+        and not use_saliency
+        and n > ONE_SHOT_MAX_PIXELS
+        and lq_max_samples
+        and not os.environ.get("PATOLETTE_NO_STRIP_DITHER")
+    ):
+        return _quantize_streamed(
+            width, height, colors, p, dither=dither,
+            palette_only=palette_only, csp=csp,
+            kmeans_niter=kmeans_niter, kmeans_max_samples=kmeans_max_samples,
+            verbose=verbose, weights=weights, lq_max_samples=lq_max_samples,
+            lq_batch_splits=lq_batch_splits, dither_segment=dither_segment,
+            seed=seed, timer=timer,
+        )
+
     # --- gigapixel guard (mesh-less): stream strips or fail typed ---------
     if _device_footprint_bytes(n, dither and not palette_only) \
             > HBM_BUDGET_BYTES:
@@ -828,6 +948,28 @@ def _quantize_body(
             verbose=verbose, weights=weights, lq_max_samples=lq_max_samples,
             lq_batch_splits=lq_batch_splits, dither_segment=dither_segment,
             seed=seed, timer=timer,
+        )
+
+    # --- full-image fused LUT path: device-resident image (saliency or
+    # explicit weights) but the map still rides the LUT wire. OPT-IN:
+    # measured SLOWER than the staged path at 4K (1.209 vs 0.873 s solo,
+    # r4) — the single program serializes the 25 MB upload against all
+    # compute, while the staged path pipelines it. Kept behind an env
+    # flag for re-evaluation on faster host links. ------------------------
+    if (
+        not palette_only
+        and lut_eligible
+        and p <= 256
+        and n >= _lut_min_pixels(p)
+        and _device_footprint_bytes(n, False) <= HBM_BUDGET_BYTES
+        and os.environ.get("PATOLETTE_FUSED_IMAGE_LUT")
+        and not os.environ.get("PATOLETTE_NO_FUSED_LUT")
+    ):
+        return _quantize_image_fused_lut(
+            width, height, colors, p, csp=csp, tile_size=tile_size,
+            kmeans_niter=kmeans_niter, kmeans_max_samples=kmeans_max_samples,
+            verbose=verbose, weights=weights, lq_max_samples=lq_max_samples,
+            lq_batch_splits=lq_batch_splits, seed=seed, timer=timer,
         )
 
     # --- one-shot small-image path (single program, 1-2 round trips) ------

@@ -178,6 +178,35 @@ def test_fast_path_matches_full_path(monkeypatch):
     assert map_fused.dtype == np.int32
 
 
+def test_image_fused_lut_matches_staged_saliency(monkeypatch):
+    """The full-image fused LUT path (saliency on device + palette + LUT
+    in ONE program) agrees with the staged full-upload path up to f32 DP
+    ties (same saliency weights, same subsample draws are device-side in
+    both — the staged path uses the host f64 DP)."""
+    rng = np.random.default_rng(17)
+    w, h = 96, 64
+    img = rng.integers(0, 256, size=(w * h, 3), dtype=np.uint8)
+    # lq_max_samples=0: with sampling on, the staged path draws host-side
+    # and the fused program draws device-side (different RNG streams) —
+    # full-data runs make the comparison about the pipeline itself
+    kw = dict(dither=False, tile_size=256, kmeans_niter=2,
+              lq_max_samples=0)
+
+    monkeypatch.setenv("PATOLETTE_NO_FUSED_LUT", "1")
+    monkeypatch.setenv("PATOLETTE_NO_ONE_SHOT", "1")
+    ok, pal_full, map_full, _ = pipeline.quantize(w, h, img, 32, **kw)
+    assert ok
+
+    monkeypatch.delenv("PATOLETTE_NO_FUSED_LUT")
+    monkeypatch.setenv("PATOLETTE_FUSED_IMAGE_LUT", "1")  # opt-in path
+    monkeypatch.setattr(pipeline, "LUT_MIN_PIXELS", 0)
+    ok, pal_fused, map_fused, _ = pipeline.quantize(w, h, img, 32, **kw)
+    assert ok
+    assert map_fused.dtype == np.int32
+    np.testing.assert_allclose(pal_fused, pal_full, rtol=0, atol=2e-3)
+    assert (map_fused == map_full).mean() > 0.995
+
+
 def test_fast_path_sampled_with_weights(monkeypatch):
     """Sampled fast path (n above the LQ cap) with explicit weights:
     runs end to end, palette is usable, map covers only valid slots."""

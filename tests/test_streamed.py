@@ -24,7 +24,7 @@ def tiny_budget(monkeypatch):
     # footprint(96*64) = 172k (nn) / 270k (dither) bytes; budget below both
     monkeypatch.setattr(pipeline, "HBM_BUDGET_BYTES", 100_000)
     # several strips per image
-    monkeypatch.setattr(pipeline, "STREAM_STRIP_PIXELS", 96 * 16)
+    monkeypatch.setattr(pipeline, "_stream_strip_pixels", lambda n: 96 * 16)
     # keep small fixtures off the one-shot/sample routes so the guard runs
     monkeypatch.setattr(pipeline, "ONE_SHOT_MAX_PIXELS", 0)
     return monkeypatch
