@@ -35,6 +35,7 @@ def quantize(
     lq_batch_splits: int = ...,
     dither_segment: int = ...,
     seed: int = ...,
+    mesh: Optional[object] = ...,
 ) -> Tuple[bool, Optional[np.ndarray], Optional[np.ndarray], str]:
     """Quantizes color data.
 
@@ -71,11 +72,15 @@ def quantize(
         (0 = no cap). Default: 262144.
     :param lq_batch_splits:
         TPU extension: clusters split per LQ round (1 = reference-exact
-        sequential greedy). Default: 1.
+        sequential greedy). Default: 8.
     :param dither_segment:
         TPU extension: Hilbert-curve segment length for the parallel dither
         scan (0 = fully serial). Default: 4096.
     :param seed: TPU extension: PRNG seed for sampling. Default: 1234.
+    :param mesh:
+        TPU extension: a 1-D ``jax.sharding.Mesh`` — runs the sharded
+        pipeline (psum'd moments, per-strip saliency/dither) with pixels
+        row-sharded over the mesh devices.
     :return:
         (success, palette, palette_map, message); palette is
         (palette_size, 3) sRGB[0, 1] with [-1, -1, -1] rows for unused

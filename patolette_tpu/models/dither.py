@@ -152,8 +152,6 @@ def _dither_stream_planar(ch2020, palette2020, valid, width, height,
     broadcasts. No lane-padded (N, 3) intermediates.
     """
     n = width * height
-    dtype = ch2020[0].dtype
-    chan_w = (R_WEIGHT, G_WEIGHT, B_WEIGHT)
 
     perm = hilbert.pixel_visit_order(width, height)
 
@@ -165,8 +163,19 @@ def _dither_stream_planar(ch2020, palette2020, valid, width, height,
     xs = jnp.stack(
         [jnp.take(ch, perm2).reshape(seg, lanes) for ch in ch2020], axis=1
     )  # (seg, 3, lanes)
+    return _dither_scan_core(xs, palette2020, valid, perm2, n, lanes)
 
-    chan_wv = jnp.asarray(chan_w, dtype)
+
+def _dither_scan_core(xs, palette2020, valid, perm2, n, lanes):
+    """Step-major dither scan shared by the planar and packed feeds.
+
+    ``xs``: (seg, 3, lanes) linear-Rec2020 stream. One stacked op per
+    stage (a 3-channel-tuple body costs ~4x more per step — r4 A/B:
+    221 -> 54 ms of body time at 4K) with the distance as an MXU
+    (K, 3) x (3, lanes) matmul.
+    """
+    dtype = xs.dtype
+    chan_wv = jnp.asarray([R_WEIGHT, G_WEIGHT, B_WEIGHT], dtype)
     qwv = _queue_weights(dtype)
     pal_scaled = palette2020 * chan_wv[None, :]           # (K, 3)
     ps2 = jnp.sum(pal_scaled * pal_scaled, axis=1)        # (K,)
@@ -174,10 +183,7 @@ def _dither_stream_planar(ch2020, palette2020, valid, width, height,
     pal_t = palette2020.T                                  # (3, K)
 
     def step(queues, px):
-        # queues: (3, QUEUE, lanes); px: (3, lanes). One stacked op per
-        # stage (a 3-channel-tuple body costs ~4x more per step — r4 A/B:
-        # 221 -> 54 ms of body time at 4K) with the distance as an MXU
-        # (K, 3) x (3, lanes) matmul.
+        # queues: (3, QUEUE, lanes); px: (3, lanes)
         corrected = px + jnp.einsum("q,cql->cl", qwv, queues)
         q = corrected * chan_wv[:, None]
         d = ps2[:, None] - 2.0 * jnp.dot(
@@ -209,3 +215,51 @@ def riemersma_dither_planar(channels_working, palette_working, valid,
     return _dither_stream_planar(
         tuple(ch2020), p2020, valid, int(width), int(height), int(segment)
     )
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "segment",
+                                             "color_space"))
+def riemersma_dither_packed_u8(channels_u8, palette_working, valid,
+                               width, height, color_space, segment=4096):
+    """uint8-source dither with a SINGLE packed gather.
+
+    The three (N,) f32 channel gathers into Hilbert order are the scan's
+    dominant cost (~58 ms each at 8.3 MP, index-pattern-independent —
+    see _step_major_perm). For uint8 sources the channels pack losslessly
+    into one (N,) uint32, so ONE gather reorders the image and the
+    sRGB -> linear Rec2020 conversion runs on the already-permuted
+    step-major arrays.
+
+    Divergence note (documented with S3): pixels convert sRGB -> Rec2020
+    DIRECTLY instead of through the working space (the reference converts
+    its working-space copy, patolette.c:268-298). The transforms agree
+    mathematically; only f32 rounding paths differ, below the dither
+    quality gates.
+    """
+    n = width * height
+    r, g, b = channels_u8
+    codes = (
+        (r.astype(jnp.uint32) << 16)
+        | (g.astype(jnp.uint32) << 8)
+        | b.astype(jnp.uint32)
+    )
+
+    seg = int(segment) if segment else n
+    seg = max(1, min(seg, n))
+    lanes = -(-n // seg)
+    perm = hilbert.pixel_visit_order(width, height)
+    perm2 = _step_major_perm(perm, seg, lanes, n)
+
+    gathered = jnp.take(codes, perm2)
+    s = jnp.float32(1.0 / 255.0)
+    ch = tuple(
+        ((gathered >> k) & jnp.uint32(0xFF)).astype(jnp.float32) * s
+        for k in (16, 8, 0)
+    )
+    ch2020 = cs.srgb_to_linear_rec2020(ch)
+    xs = jnp.stack(
+        [c.reshape(seg, lanes) for c in ch2020], axis=1
+    )  # (seg, 3, lanes)
+
+    p2020 = cs.working_to_linear_rec2020(palette_working, color_space)
+    return _dither_scan_core(xs, p2020, valid, perm2, n, lanes)

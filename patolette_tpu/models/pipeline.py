@@ -611,16 +611,26 @@ def _quantize_streamed(width, height, colors, p, *, dither, palette_only,
         for r0 in range(0, height, strip_rows):
             r1 = min(height, r0 + strip_rows)
             strip = colors[r0 * width:r1 * width]
-            xp = wire.put_planar_image(strip)
-            xw = _to_working(xp, csp)
-            if dither:
+            if dither and strip.dtype == np.uint8:
+                # packed feed: ONE gather into Hilbert order instead of
+                # three (the gathers dominate the scan's non-wire cost)
                 from patolette_tpu.models import dither as DITH
 
+                xp8 = wire.put_planar_raw(strip)
+                pm = DITH.riemersma_dither_packed_u8(
+                    xp8, centers, valid, width, r1 - r0, csp,
+                    segment=dither_segment,
+                )
+            elif dither:
+                from patolette_tpu.models import dither as DITH
+
+                xw = _to_working(wire.put_planar_image(strip), csp)
                 pm = DITH.riemersma_dither_planar(
                     xw, centers, valid, width, r1 - r0, csp,
                     segment=dither_segment,
                 )
             else:
+                xw = _to_working(wire.put_planar_image(strip), csp)
                 pm = _nn_map_stage_planar(xw, centers, valid, csp)
             pending.append((r0, r1, pm))
         for r0, r1, pm in pending:

@@ -89,6 +89,15 @@ def put_planar_image(colors):
     return tuple(put_1d(colors[:, k]) for k in range(3))
 
 
+def put_planar_raw(colors_u8):
+    """(N, 3) uint8 -> 3 x (N,) RAW uint8 channels on device, chunked.
+
+    No normalization: for consumers that repack the bytes (e.g. the
+    packed single-gather dither feed)."""
+    colors_u8 = np.asarray(colors_u8)
+    return tuple(put_1d(colors_u8[:, k]) for k in range(3))
+
+
 def put_vector(w):
     """(N,) host float vector -> (N,) f32 on device, chunked."""
     return put_1d(np.asarray(w, dtype=np.float32))

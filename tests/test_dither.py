@@ -5,6 +5,7 @@ import jax.numpy as jnp
 
 from patolette_tpu.ops import hilbert
 from patolette_tpu.models import dither as D
+from patolette_tpu.ops import colorspace as cs
 
 
 class TestHilbert:
@@ -143,3 +144,51 @@ class TestDither:
         w = np.asarray(D._queue_weights(jnp.float32))
         assert len(w) == 16
         np.testing.assert_allclose(w[-1] / w[0], 16.0, rtol=1e-5)
+
+
+class TestPackedFeed:
+    """riemersma_dither_packed_u8: single-gather u8 feed vs the planar
+    path. For sRGB working space the conversion chain is identical, so
+    outputs match exactly; for ICtCp only the f32 path differs (direct
+    sRGB->Rec2020 vs the working-space round trip), so agreement is
+    near-total and quality is unchanged."""
+
+    def _setup(self, seed=3, side=48, k=16):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (side * side, 3), dtype=np.uint8)
+        pal = jnp.asarray(rng.uniform(0, 1, (k, 3)).astype(np.float32))
+        valid = jnp.ones((k,), bool)
+        return img, pal, valid, side
+
+    def _planar(self, img, pal, valid, side, csp):
+        from patolette_tpu.ops import wire
+        from patolette_tpu.models.pipeline import _to_working
+
+        xw = _to_working(wire.put_planar_image(img), csp)
+        return np.asarray(D.riemersma_dither_planar(
+            xw, pal, valid, side, side, csp, segment=256))
+
+    def _packed(self, img, pal, valid, side, csp):
+        from patolette_tpu.ops import wire
+
+        xp8 = wire.put_planar_raw(img)
+        return np.asarray(D.riemersma_dither_packed_u8(
+            xp8, pal, valid, side, side, csp, segment=256))
+
+    def test_srgb_exact(self):
+        img, pal, valid, side = self._setup()
+        a = self._planar(img, pal, valid, side, 0)
+        b = self._packed(img, pal, valid, side, 0)
+        np.testing.assert_array_equal(a, b)
+
+    def test_ictcp_agreement_and_quality(self):
+        img, pal, valid, side = self._setup(seed=5)
+        pal_work = cs.srgb_to_working(pal, 2)
+        a = self._planar(img, pal_work, valid, side, 2)
+        b = self._packed(img, pal_work, valid, side, 2)
+        assert (a == b).mean() > 0.97
+        imgf = img.astype(np.float64) / 255.0
+        pal_np = np.asarray(pal, np.float64)
+        ea = np.mean((pal_np[a] - imgf) ** 2)
+        eb = np.mean((pal_np[b] - imgf) ** 2)
+        assert abs(ea - eb) < 0.05 * max(ea, eb) + 1e-6
