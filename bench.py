@@ -26,7 +26,8 @@ BASELINE_MPS_PER_CHIP = 25.0
 WIDTH, HEIGHT = 10000, 10000
 PALETTE = 256
 KMEANS_ITERS = 25
-REPEATS = 2
+# best-of-3: wall times through the axon tunnel swing +-20-40% run to run
+REPEATS = 3
 
 
 def synth_image_u8(w, h, seed=0, tile=1000):
