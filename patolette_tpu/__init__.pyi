@@ -42,8 +42,10 @@ def quantize(
     :param width: The width of the source image.
     :param height: The height of the source image.
     :param colors:
-        A (width * height, 3) array of sRGB[0, 1] colors, scanned
-        left-to-right, top-to-bottom.
+        A (width * height, 3) array of sRGB colors, scanned left-to-right,
+        top-to-bottom: float in [0, 1] (reference convention) or uint8 in
+        [0, 255] (TPU extension — 8-bit images cross the host->device
+        link at 1/4 the bytes).
     :param palette_size: The desired palette size.
     :param dither: Whether dithering should be used. Default: True.
     :param palette_only:
