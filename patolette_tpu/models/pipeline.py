@@ -602,12 +602,23 @@ def _quantize_streamed(width, height, colors, p, *, dither, palette_only,
         palette_map = np.empty((n,), np.int32)
         mode = "dither" if dither else "nn-map"
         _log(verbose, f"Streamed {mode}: strips of {strip_rows} rows")
-        # Two-phase pipeline: dispatch every strip's [upload -> convert ->
-        # map program] first (all async — strip i computes while strip
-        # i+1's bytes are still on the wire), THEN pull the maps in order
-        # (each pull overlaps the later strips' device work). A single
-        # fused loop would serialize wire-up, compute, and wire-down.
+        # Pipelined dispatch with a BOUNDED in-flight window: after
+        # dispatching strip i, strip i-2's map is pulled, so at most 3
+        # strips' uploads + narrowed maps are device-resident at once
+        # (upload i and pull i-2 still overlap strip i-1's scan — the
+        # documented ~2-strip pipeline). Unbounded dispatch would hold
+        # every strip's map on device simultaneously: ~1-2 B/px over the
+        # WHOLE image, which near the 1.6 Gpx validation cap exceeds the
+        # very HBM budget this path guards (ADVICE r4 medium). Maps are
+        # narrowed to the wire dtype inside the dispatch loop for the
+        # same reason.
         pending = []
+
+        def _pull(item):
+            r0_, r1_, pm_ = item
+            palette_map[r0_ * width:r1_ * width] = \
+                wire.get_palette_map(pm_, p)
+
         for r0 in range(0, height, strip_rows):
             r1 = min(height, r0 + strip_rows)
             strip = colors[r0 * width:r1 * width]
@@ -632,9 +643,11 @@ def _quantize_streamed(width, height, colors, p, *, dither, palette_only,
             else:
                 xw = _to_working(wire.put_planar_image(strip), csp)
                 pm = _nn_map_stage_planar(xw, centers, valid, csp)
-            pending.append((r0, r1, pm))
-        for r0, r1, pm in pending:
-            palette_map[r0 * width:r1 * width] = wire.get_palette_map(pm, p)
+            pending.append((r0, r1, wire.narrow_map(pm, p)))
+            if len(pending) > 2:
+                _pull(pending.pop(0))
+        for item in pending:
+            _pull(item)
         timer.lap("dither" if dither else "nn-map")
 
     palette = _finish_palette(centers, np.asarray(valid), p, csp)
@@ -752,9 +765,9 @@ def _quantize_one_shot(width, height, colors, p, *, dither, palette_only,
                 map_bytes.tobytes(), np.uint16
             ).astype(np.int32)
         else:
-            palette_map = np.frombuffer(
-                map_bytes.tobytes(), np.int32
-            ).astype(np.int32, copy=False)
+            # copy: frombuffer views are read-only, and the public palette
+            # map is writable on every other path (ADVICE r4)
+            palette_map = np.frombuffer(map_bytes.tobytes(), np.int32).copy()
     timer.lap("one-shot")
     palette = np.full((p, 3), -1.0)
     palette[valid_np] = pal_srgb[valid_np]
@@ -972,7 +985,7 @@ def _quantize_body(
         and p <= 256
         and n >= _lut_min_pixels(p)
         and _device_footprint_bytes(n, False) <= HBM_BUDGET_BYTES
-        and os.environ.get("PATOLETTE_FUSED_IMAGE_LUT")
+        and os.environ.get("PATOLETTE_FUSED_IMAGE_LUT") == "1"
         and not os.environ.get("PATOLETTE_NO_FUSED_LUT")
     ):
         return _quantize_image_fused_lut(

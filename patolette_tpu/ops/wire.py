@@ -113,13 +113,29 @@ def _to_u16(x):
     return x.astype(jnp.uint16)
 
 
+def narrow_map(pmap_dev, palette_size: int):
+    """Narrow a device int32 palette map to its minimal wire dtype NOW.
+
+    Callers that keep several maps resident (the strip-streamed path)
+    dispatch this inside their loop so each waiting strip holds 1-2 B/px
+    instead of 4 (ADVICE r4: unbounded int32 residency near the 1.6 Gpx
+    cap). ``get_palette_map`` accepts the already-narrow array."""
+    if palette_size <= 256:
+        return _to_u8(pmap_dev)
+    if palette_size <= 65536:
+        return _to_u16(pmap_dev)
+    return pmap_dev
+
+
 def get_palette_map(pmap_dev, palette_size: int):
     """Device->host palette-map pull at minimal wire width, chunked.
 
     Public dtype is int32 (reference pyx:441-466); the wire uses
-    uint8/uint16 when the palette fits, widened on the host for free."""
-    if palette_size <= 256:
-        return get_1d(_to_u8(pmap_dev)).astype(np.int32)
-    if palette_size <= 65536:
-        return get_1d(_to_u16(pmap_dev)).astype(np.int32)
-    return get_1d(pmap_dev).astype(np.int32, copy=False)
+    uint8/uint16 when the palette fits, widened on the host for free.
+    Accepts either the raw int32 map or one pre-narrowed by
+    :func:`narrow_map`."""
+    if pmap_dev.dtype == jnp.int32:
+        pmap_dev = narrow_map(pmap_dev, palette_size)
+    if pmap_dev.dtype == jnp.int32:  # palette too wide to narrow
+        return get_1d(pmap_dev).astype(np.int32, copy=False)
+    return get_1d(pmap_dev).astype(np.int32)
