@@ -224,6 +224,15 @@ def _put_sample(sub):
     return jnp.asarray(np.asarray(sub, dtype=np.float32))
 
 
+def _start_host_copy(x):
+    """Kick off an async device->host copy so a tiny later pull costs no
+    extra round trip (best-effort: sync pull still works without it)."""
+    try:
+        x.copy_to_host_async()
+    except Exception:  # pragma: no cover - depends on backend support
+        pass
+
+
 @functools.partial(jax.jit, static_argnames=("niter",))
 def _kmeans_on_samples(samples, weights, centers, valid, niter):
     return KM.lloyd_iterations(samples, weights, centers, valid, niter)
@@ -312,6 +321,7 @@ def _quantize_image_fused_lut(width, height, colors, p, *, csp, tile_size,
                               weights, lq_max_samples, lq_batch_splits,
                               seed, timer):
     """Host half of the full-image fused LUT path (saliency + u8 + p<=256)."""
+    prefetch = LUT.CodesPrefetch(colors)
     xp_srgb = wire.put_planar_image(colors)
     w_in = None if weights is None else wire.put_vector(weights)
     grid = LUT.grid_ictcp(csp)
@@ -330,11 +340,12 @@ def _quantize_image_fused_lut(width, height, colors, p, *, csp, tile_size,
     _sync_stage(enc)
     timer.lap("saliency+palette+lut-build")
 
+    _start_host_copy(pack)
     lut_np = LUT.pull_encoded(enc)
     if lut_np is None:
         lut_np = wire.get_1d(lut_dev)
     timer.lap("lut-pull")
-    palette_map = LUT.lut_map_host(colors, lut_np)
+    palette_map = LUT.lut_map_host(colors, lut_np, codes=prefetch.take())
     timer.lap("lut-map-host")
 
     pack_np = np.asarray(pack, np.float64)
@@ -355,26 +366,43 @@ def _quantize_via_samples_fused(width, height, colors, p, *, csp,
     n = colors.shape[0]
     rng = np.random.default_rng(seed)
     w_host = None if weights is None else np.asarray(weights, np.float32)
+    # background 24-bit pack, concurrent with everything below up to the
+    # RLE decode (the host is otherwise idle in RPC waits)
+    prefetch = LUT.CodesPrefetch(colors)
 
     if lq_max_samples and n > lq_max_samples:
         idx = rng.integers(0, n, size=int(lq_max_samples))
         sub, w_lq_h = colors[idx], None if w_host is None else w_host[idx]
     else:
         sub, w_lq_h = colors, w_host
-    x_sub = _put_sample(sub)
-    w_lq = None if w_lq_h is None else jnp.asarray(w_lq_h)
 
-    sub_km = w_km = None
+    sub_km_h = None
     if kmeans_niter > 0:
         cap = KM.subsample_cap(p, int(kmeans_max_samples))
         if n > cap:
             idx2 = rng.integers(0, n, size=cap)
-            sub_km = _put_sample(colors[idx2])
-            w_km = None if w_host is None else jnp.asarray(w_host[idx2])
+            sub_km_h = colors[idx2]
         elif sub is not colors:
-            sub_km = _put_sample(colors)
-            w_km = None if w_host is None else jnp.asarray(w_host)
+            sub_km_h = colors
         # else: KMeans reuses the LQ sample inside the program
+
+    w_lq = w_km = None
+    if w_host is None and sub_km_h is not None \
+            and sub.dtype == sub_km_h.dtype:
+        # ONE wire RPC for both samples (two ~1 MB uploads each pay the
+        # ~28 ms tunnel RTT; the device split slices are free)
+        both = _put_sample(np.concatenate([sub, sub_km_h]))
+        x_sub, sub_km = both[:len(sub)], both[len(sub):]
+    else:
+        x_sub = _put_sample(sub)
+        w_lq = None if w_lq_h is None else jnp.asarray(w_lq_h)
+        sub_km = None
+        if sub_km_h is not None:
+            sub_km = _put_sample(sub_km_h)
+            if w_host is not None:
+                w_km = jnp.asarray(
+                    w_host[idx2] if sub_km_h is not colors else w_host
+                )
     grid = LUT.grid_ictcp(csp)
     _sync_stage(x_sub)
     timer.lap("sample-in")
@@ -389,11 +417,12 @@ def _quantize_via_samples_fused(width, height, colors, p, *, csp,
     _sync_stage(enc)
     timer.lap("palette+lut-build")
 
+    _start_host_copy(pack)  # ride the device-wait window, not a later RTT
     lut_np = LUT.pull_encoded(enc)
     if lut_np is None:  # > MAX_RUNS runs: raw table pull fallback
         lut_np = wire.get_1d(lut_dev)
     timer.lap("lut-pull")
-    palette_map = LUT.lut_map_host(colors, lut_np)
+    palette_map = LUT.lut_map_host(colors, lut_np, codes=prefetch.take())
     timer.lap("lut-map-host")
 
     pack_np = np.asarray(pack, np.float64)
@@ -464,6 +493,10 @@ def _quantize_via_samples(width, height, colors, p, *, palette_only, csp,
     n = colors.shape[0]
     rng = np.random.default_rng(seed)
     w_host = None if weights is None else np.asarray(weights, np.float32)
+    lut_ahead = (
+        not palette_only and colors.dtype == np.uint8 and p <= 65536
+    )
+    prefetch = LUT.CodesPrefetch(colors) if lut_ahead else None
 
     if lq_max_samples and n > lq_max_samples:
         idx = rng.integers(0, n, size=int(lq_max_samples))
@@ -511,7 +544,9 @@ def _quantize_via_samples(width, height, colors, p, *, palette_only, csp,
         timer.lap("lut-build")
         lut_np = LUT.pull_lut(lut)
         timer.lap("lut-build+pull")
-        palette_map = LUT.lut_map_host(colors, lut_np)
+        palette_map = LUT.lut_map_host(
+            colors, lut_np, codes=prefetch.take() if prefetch else None
+        )
         timer.lap("lut-map-host")
 
     palette = _finish_palette(centers, np.asarray(valid), p, csp)
@@ -1009,6 +1044,13 @@ def _quantize_body(
             seed=seed, timer=timer,
         )
 
+    # background 24-bit pack for the LUT branch below (no-op otherwise)
+    prefetch = (
+        LUT.CodesPrefetch(colors)
+        if (not palette_only and not dither and lut_eligible
+            and n >= _lut_min_pixels(p))
+        else None
+    )
     xp_srgb = wire.put_planar_image(colors)  # 3 x (N,) f32, chunked wire
     _sync_stage(xp_srgb[0])
     timer.lap("stage-in")
@@ -1083,7 +1125,10 @@ def _quantize_body(
             lut = LUT.build_lut_device(
                 palette_work, valid, csp, LUT.lut_dtype(p)
             )
-            palette_map = LUT.lut_map_host(colors, LUT.pull_lut(lut))
+            palette_map = LUT.lut_map_host(
+                colors, LUT.pull_lut(lut),
+                codes=prefetch.take() if prefetch else None,
+            )
         else:
             _log(verbose, "NN mapping")
             palette_map = _nn_map_stage_planar(

@@ -139,6 +139,20 @@ def _load():
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_long,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_int,
     ]
+    lib.oracle_pack_codes.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int,
+    ]
+    for name, ct in (
+        ("oracle_lut_map_codes_u8", ctypes.c_uint8),
+        ("oracle_lut_map_codes_u16", ctypes.c_uint16),
+        ("oracle_lut_map_codes_i32", ctypes.c_int32),
+    ):
+        getattr(lib, name).argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_long,
+            ctypes.POINTER(ct), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+        ]
     _lib = lib
     return _lib
 
@@ -246,6 +260,59 @@ def lut_map_u8(colors_u8, lut, nthreads: int = 0):
         # latency-bound gather: oversubscribing the cores hides table misses
         nthreads = min(8, 2 * (os.cpu_count() or 1))
     fn(_ptr(colors_u8, ctypes.c_uint8), n, _ptr(lut_padded, ct),
+       _ptr(out, ctypes.c_int32), nthreads)
+    return out
+
+
+def pack_codes(colors_u8, nthreads: int = 0):
+    """(N, 3) uint8 -> (N,) uint32 24-bit codes (r<<16|g<<8|b), threaded.
+
+    The image-only half of :func:`lut_map_u8`, split out so the pipeline
+    can run it in a background thread while the device builds the LUT.
+    Returns None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    colors_u8 = np.ascontiguousarray(colors_u8, np.uint8)
+    n = len(colors_u8)
+    out = np.empty((n,), np.uint32)
+    if not nthreads:
+        nthreads = min(8, os.cpu_count() or 1)
+    lib.oracle_pack_codes(
+        _ptr(colors_u8, ctypes.c_uint8), n, _ptr(out, ctypes.c_uint32),
+        nthreads,
+    )
+    return out
+
+
+def lut_map_codes(codes, lut, nthreads: int = 0):
+    """Gather-only half of :func:`lut_map_u8` over precomputed 24-bit codes:
+    out[i] = int32(lut[codes[i]]). Same padded-table contract; returns None
+    when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    fns = {
+        np.dtype(np.uint8): (lib.oracle_lut_map_codes_u8, ctypes.c_uint8),
+        np.dtype(np.uint16): (lib.oracle_lut_map_codes_u16, ctypes.c_uint16),
+        np.dtype(np.int32): (lib.oracle_lut_map_codes_i32, ctypes.c_int32),
+    }
+    if lut.dtype not in fns:
+        return None
+    fn, ct = fns[lut.dtype]
+    codes = np.ascontiguousarray(codes, np.uint32)
+    lut = np.ascontiguousarray(lut)
+    if lut.shape[0] == LUT_SIZE + LUT_PAD:
+        lut_padded = lut
+    else:
+        lut_padded = np.zeros(lut.shape[0] + LUT_PAD, lut.dtype)
+        lut_padded[:lut.shape[0]] = lut
+    n = len(codes)
+    out = np.empty((n,), np.int32)
+    if not nthreads:
+        # latency-bound gather: oversubscribing the cores hides table misses
+        nthreads = min(8, 2 * (os.cpu_count() or 1))
+    fn(_ptr(codes, ctypes.c_uint32), n, _ptr(lut_padded, ct),
        _ptr(out, ctypes.c_int32), nthreads)
     return out
 

@@ -301,15 +301,19 @@ void lut_map_range_avx512(const uint8_t* rgb, long lo, long hi, const T* lut,
         const uint8_t* p = rgb + 3 * base;
         for (long i = 0; i < m; i++) codes[i] = pack24(p + 3 * i);
         long i = 0;
+        // scalar prologue to a 64-byte-aligned output (NT-store contract)
+        while (i < m && (((uintptr_t)(out + base + i)) & 63))
+            { out[base + i] = (int32_t)lut[codes[i]]; i++; }
         for (; i + 16 <= m; i += 16) {
-            __m512i idx = _mm512_load_si512((const void*)(codes + i));
+            __m512i idx = _mm512_loadu_si512((const void*)(codes + i));
             __m512i g = _mm512_i32gather_epi32(idx, (const int*)lut,
                                                sizeof(T));
-            _mm512_storeu_si512((void*)(out + base + i),
+            _mm512_stream_si512((__m512i*)(out + base + i),
                                 _mm512_and_si512(g, mask));
         }
         for (; i < m; i++) out[base + i] = (int32_t)lut[codes[i]];
     }
+    _mm_sfence();
 }
 #endif
 
@@ -348,6 +352,94 @@ void lut_map_threaded(const uint8_t* rgb, long n, const T* lut, int32_t* out,
     for (auto& th : ts) th.join();
 }
 
+// ---------------------------------------------------------------------------
+// Split pack / gather halves: the 24-bit pack depends only on the image, so
+// the pipeline runs it in a BACKGROUND thread while the device computes the
+// palette + LUT; once the table arrives, only the latency-bound gather
+// remains on the critical path (VERDICT r4 next #1 — the pack half of the
+// 100 MP host map was ~60 ms of serial wall).
+// ---------------------------------------------------------------------------
+
+void pack_codes_range(const uint8_t* rgb, long lo, long hi, uint32_t* out) {
+#if defined(__x86_64__)
+    // write-once buffer: non-temporal 4-byte stores skip the RFO read
+    for (long i = lo; i < hi; i++)
+        _mm_stream_si32((int*)(out + i), (int)pack24(rgb + 3 * i));
+    _mm_sfence();
+#else
+    for (long i = lo; i < hi; i++) out[i] = pack24(rgb + 3 * i);
+#endif
+}
+
+template <typename T>
+void lut_map_codes_range(const uint32_t* codes, long lo, long hi,
+                         const T* lut, int32_t* out) {
+    constexpr long PF = 24;
+    for (long i = lo; i < hi; i++) {
+        if (i + PF < hi)
+            __builtin_prefetch(&lut[codes[i + PF]], 0, 1);
+        out[i] = (int32_t)lut[codes[i]];
+    }
+}
+
+#if defined(__x86_64__)
+// Non-temporal stores: the (N,) int32 output is written once and not
+// re-read, so regular stores pay a read-for-ownership on every cache line
+// (400 MB of extra read traffic at 100 MP — the map is memory-bound, not
+// compute-bound: the split-vs-fused A/B on the 2-core host moved only
+// ~15 ms until NT stores cut the RFO half of the output traffic).
+template <typename T>
+__attribute__((target("avx512f")))
+void lut_map_codes_range_avx512(const uint32_t* codes, long lo, long hi,
+                                const T* lut, int32_t* out) {
+    const __m512i mask =
+        _mm512_set1_epi32((int)((1ull << (8 * sizeof(T))) - 1));
+    long i = lo;
+    // scalar prologue up to a 64-byte-aligned output address
+    while (i < hi && (((uintptr_t)(out + i)) & 63))
+        { out[i] = (int32_t)lut[codes[i]]; i++; }
+    for (; i + 16 <= hi; i += 16) {
+        __m512i idx = _mm512_loadu_si512((const void*)(codes + i));
+        __m512i g = _mm512_i32gather_epi32(idx, (const int*)lut, sizeof(T));
+        _mm512_stream_si512((__m512i*)(out + i), _mm512_and_si512(g, mask));
+    }
+    _mm_sfence();
+    for (; i < hi; i++) out[i] = (int32_t)lut[codes[i]];
+}
+#endif
+
+template <typename T>
+void lut_map_codes_dispatch(const uint32_t* codes, long lo, long hi,
+                            const T* lut, int32_t* out) {
+#if defined(__x86_64__)
+    if constexpr (sizeof(T) <= 2) {
+        if (__builtin_cpu_supports("avx512f")) {
+            lut_map_codes_range_avx512<T>(codes, lo, hi, lut, out);
+            return;
+        }
+    }
+#endif
+    lut_map_codes_range<T>(codes, lo, hi, lut, out);
+}
+
+template <typename T>
+void lut_map_codes_threaded(const uint32_t* codes, long n, const T* lut,
+                            int32_t* out, int nthreads) {
+    if (nthreads < 2 || n < (1L << 20)) {
+        lut_map_codes_dispatch(codes, 0, n, lut, out);
+        return;
+    }
+    std::vector<std::thread> ts;
+    const long step = (n + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+        const long lo = t * step;
+        const long hi = std::min(n, lo + step);
+        if (lo >= hi) break;
+        ts.emplace_back(lut_map_codes_dispatch<T>, codes, lo, hi, lut, out);
+    }
+    for (auto& th : ts) th.join();
+}
+
 }  // namespace
 
 extern "C" {
@@ -365,6 +457,43 @@ void oracle_lut_map_u16(const uint8_t* rgb, long n, const uint16_t* lut,
 void oracle_lut_map_i32(const uint8_t* rgb, long n, const int32_t* lut,
                         int32_t* out, int nthreads) {
     lut_map_threaded(rgb, n, lut, out, nthreads);
+}
+
+// Pack-only half: codes[i] = (r<<16)|(g<<8)|b. Run in a background thread
+// while the device builds the LUT (see lut.CodesPrefetch).
+void oracle_pack_codes(const uint8_t* rgb, long n, uint32_t* out,
+                       int nthreads) {
+    if (nthreads < 2 || n < (1L << 20)) {
+        pack_codes_range(rgb, 0, n, out);
+        return;
+    }
+    std::vector<std::thread> ts;
+    const long step = (n + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+        const long lo = t * step;
+        const long hi = std::min(n, lo + step);
+        if (lo >= hi) break;
+        ts.emplace_back(pack_codes_range, rgb, lo, hi, out);
+    }
+    for (auto& th : ts) th.join();
+}
+
+// Gather-only half over precomputed codes.
+void oracle_lut_map_codes_u8(const uint32_t* codes, long n,
+                             const uint8_t* lut, int32_t* out, int nthreads) {
+    lut_map_codes_threaded(codes, n, lut, out, nthreads);
+}
+
+void oracle_lut_map_codes_u16(const uint32_t* codes, long n,
+                              const uint16_t* lut, int32_t* out,
+                              int nthreads) {
+    lut_map_codes_threaded(codes, n, lut, out, nthreads);
+}
+
+void oracle_lut_map_codes_i32(const uint32_t* codes, long n,
+                              const int32_t* lut, int32_t* out,
+                              int nthreads) {
+    lut_map_codes_threaded(codes, n, lut, out, nthreads);
 }
 
 // RLE decode of the LUT wire format (ops/lut.py): packed[i] =

@@ -131,3 +131,48 @@ class TestRleDecode:
         packed = np.array([(0 << 8) | 9], np.uint32)
         dec = native.rle_decode_u8(packed)
         assert dec is None or (dec[:LUT.LUT_SIZE] == 9).all()
+
+
+class TestCodesSplit:
+    """The pack/gather split (CodesPrefetch path) must be bit-identical to
+    the fused native map and the numpy fallback."""
+
+    def test_pack_gather_matches_fused(self):
+        if not native.available():
+            import pytest
+
+            pytest.fail(f"native library unavailable: {native.build_error()}")
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, size=(100_003, 3), dtype=np.uint8)
+        for dtype, hi in ((np.uint8, 256), (np.uint16, 60_000),
+                          (np.int32, 1 << 20)):
+            lut = rng.integers(0, hi, size=(1 << 24,)).astype(dtype)
+            fused = native.lut_map_u8(img, lut)
+            codes = native.pack_codes(img)
+            expect_codes = (
+                (img[:, 0].astype(np.uint32) << 16)
+                | (img[:, 1].astype(np.uint32) << 8)
+                | img[:, 2].astype(np.uint32)
+            )
+            np.testing.assert_array_equal(codes, expect_codes)
+            split = native.lut_map_codes(codes, lut)
+            assert split.dtype == np.int32
+            np.testing.assert_array_equal(split, fused)
+
+    def test_codes_prefetch_roundtrip(self):
+        from patolette_tpu.ops import lut as LUT
+
+        rng = np.random.default_rng(8)
+        # above MIN_PIXELS so the thread actually starts
+        n = LUT.CodesPrefetch.MIN_PIXELS + 11
+        img = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+        lut = rng.integers(0, 256, size=(1 << 24,), dtype=np.uint8)
+        pf = LUT.CodesPrefetch(img)
+        out = LUT.lut_map_host(img, lut, codes=pf.take())
+        np.testing.assert_array_equal(out, LUT.lut_map_host(img, lut))
+
+    def test_codes_prefetch_noop_below_min(self):
+        from patolette_tpu.ops import lut as LUT
+
+        img = np.zeros((64, 3), np.uint8)
+        assert LUT.CodesPrefetch(img).take() is None
