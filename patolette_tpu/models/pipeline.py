@@ -274,7 +274,7 @@ def _sample_lut_program(sub, w_lq, sub_km, w_km, grid, *, p, csp,
     )
     pi, c2 = LUT._palette_ictcp(centers, valid, csp)
     lut = LUT._argmin_lut(grid, pi, c2, jnp.uint8)
-    enc = LUT._rle_encode_u8(lut)
+    enc = LUT._rle_encode_u8_v2(lut)
     return pack, lut, enc
 
 
@@ -312,7 +312,7 @@ def _image_lut_program(channels, weights, grid, *, width, height, p, csp,
     )
     pi, c2 = LUT._palette_ictcp(centers, valid, csp)
     lut = LUT._argmin_lut(grid, pi, c2, jnp.uint8)
-    enc = LUT._rle_encode_u8(lut)
+    enc = LUT._rle_encode_u8_v2(lut)
     return pack, lut, enc
 
 
@@ -341,9 +341,9 @@ def _quantize_image_fused_lut(width, height, colors, p, *, csp, tile_size,
     timer.lap("saliency+palette+lut-build")
 
     _start_host_copy(pack)
-    lut_np = LUT.pull_encoded(enc)
-    if lut_np is None:
-        lut_np = wire.get_1d(lut_dev)
+    lut_np = LUT.pull_encoded_v2(enc)
+    if lut_np is None:  # block overflow: v1 encode / raw pull fallback
+        lut_np = LUT.pull_lut(lut_dev)
     timer.lap("lut-pull")
     palette_map = LUT.lut_map_host(colors, lut_np, codes=prefetch.take())
     timer.lap("lut-map-host")
@@ -379,12 +379,18 @@ def _quantize_via_samples_fused(width, height, colors, p, *, csp,
     sub_km_h = None
     if kmeans_niter > 0:
         cap = KM.subsample_cap(p, int(kmeans_max_samples))
-        if n > cap:
+        if n > cap and not (len(sub) == cap and w_host is None):
             idx2 = rng.integers(0, n, size=cap)
             sub_km_h = colors[idx2]
-        elif sub is not colors:
+        elif n <= cap and sub is not colors:
             sub_km_h = colors
-        # else: KMeans reuses the LQ sample inside the program
+        # else: KMeans reuses the LQ sample inside the program. When the
+        # LQ draw already has exactly the KMeans cap size (the default
+        # config: lq_max_samples == subsample_cap == 2^18), a second
+        # independent draw would double the upload bytes for no
+        # statistical gain (both are uniform with replacement) — the
+        # ~786 KB saved is ~40 ms of measured tunnel wire (S8, README
+        # divergence table; quality A/B'd flat on the bench suite).
 
     w_lq = w_km = None
     if w_host is None and sub_km_h is not None \
@@ -418,9 +424,9 @@ def _quantize_via_samples_fused(width, height, colors, p, *, csp,
     timer.lap("palette+lut-build")
 
     _start_host_copy(pack)  # ride the device-wait window, not a later RTT
-    lut_np = LUT.pull_encoded(enc)
-    if lut_np is None:  # > MAX_RUNS runs: raw table pull fallback
-        lut_np = wire.get_1d(lut_dev)
+    lut_np = LUT.pull_encoded_v2(enc)
+    if lut_np is None:  # block overflow: v1 encode / raw pull fallback
+        lut_np = LUT.pull_lut(lut_dev)
     timer.lap("lut-pull")
     palette_map = LUT.lut_map_host(colors, lut_np, codes=prefetch.take())
     timer.lap("lut-map-host")

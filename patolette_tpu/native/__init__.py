@@ -139,6 +139,10 @@ def _load():
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_long,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_int,
     ]
+    lib.oracle_rle_decode_u8_v2.argtypes = [
+        ctypes.POINTER(ctypes.c_uint16), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+    ]
     lib.oracle_pack_codes.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_int,
@@ -331,6 +335,22 @@ def rle_decode_u8(packed, table_size: int = LUT_SIZE):
         _ptr(packed, ctypes.c_uint32), len(packed),
         _ptr(out, ctypes.c_uint8), table_size,
         min(4, os.cpu_count() or 1),
+    )
+    return out
+
+
+def rle_decode_u8_v2(words, table_size: int = LUT_SIZE):
+    """Decode the delta-u16 RLE v2 wire format into a PADDED
+    (table_size + 4,) uint8 table, or None when the native library is
+    unavailable (caller uses the numpy np.repeat fallback)."""
+    lib = _load()
+    if lib is None:
+        return None
+    words = np.ascontiguousarray(words, np.uint16)
+    out = np.zeros(table_size + LUT_PAD, np.uint8)
+    lib.oracle_rle_decode_u8_v2(
+        _ptr(words, ctypes.c_uint16), len(words),
+        _ptr(out, ctypes.c_uint8), table_size,
     )
     return out
 

@@ -528,4 +528,22 @@ void oracle_rle_decode_u8(const uint32_t* packed, long nruns, uint8_t* out,
     for (auto& th : ts) th.join();
 }
 
+// RLE v2 decode (ops/lut.py _rle_encode_u8_v2): u16 words
+// (delta << 8) | value, pos_i = pos_{i-1} + delta_i, pos_0 = 0; run i
+// covers [pos_i, pos_{i+1}) and the last run extends to table_size.
+// Serial: the ~650k-word cumsum + memset-per-run takes a few ms.
+void oracle_rle_decode_u8_v2(const uint16_t* words, long nruns, uint8_t* out,
+                             long table_size) {
+    if (nruns <= 0) return;
+    long pos = 0;
+    for (long r = 0; r < nruns; r++) {
+        pos += (long)(words[r] >> 8);
+        const long end = (r + 1 < nruns)
+            ? pos + (long)(words[r + 1] >> 8) : table_size;
+        if (end > pos && pos < table_size)
+            memset(out + pos, (int)(words[r] & 0xFF),
+                   (size_t)(std::min(end, table_size) - pos));
+    }
+}
+
 }  // extern "C"

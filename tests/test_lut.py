@@ -241,3 +241,72 @@ def test_fast_path_palette_only_float_input(monkeypatch):
     assert ok, msg
     assert pmap is None
     assert pal.shape == (8, 3)
+
+
+class TestRleV2:
+    """Delta-u16 RLE v2 (the default fused-path wire format)."""
+
+    def _encode_header(self, host):
+        enc = np.asarray(LUT._rle_encode_u8_v2(jnp.asarray(host)))
+        count = int(enc[0]) | (int(enc[1]) << 16)
+        return enc, count, bool(enc[2])
+
+    def test_roundtrip_typical(self):
+        rng = np.random.default_rng(23)
+        runs = 300_000
+        pos = np.sort(
+            rng.choice(LUT.LUT_SIZE - 1, size=runs - 1, replace=False) + 1
+        )
+        vals = rng.integers(0, 256, size=runs).astype(np.uint8)
+        same = np.flatnonzero(vals[1:] == vals[:-1])
+        vals[same + 1] = ((vals[same + 1].astype(np.int32) + 1) % 256).astype(
+            np.uint8
+        )
+        host = np.repeat(
+            vals, np.diff(np.concatenate([[0], pos, [LUT.LUT_SIZE]]))
+        )
+        # edge: a single-element run with value 255 at the very last
+        # position (its packed word equals the sort sentinel bit-for-bit)
+        host[-1] = 255 if host[-2] != 255 else 254
+
+        enc, count, overflow = self._encode_header(host)
+        assert not overflow
+        out = LUT.pull_encoded_v2(jnp.asarray(enc))
+        np.testing.assert_array_equal(out, host)
+
+    def test_roundtrip_multiwindow(self):
+        # a boundary every 12 positions: ~1.4M runs (> _V2_STEP words, so
+        # the pull takes the multi-window path) but only ~11 per block
+        host = ((np.arange(LUT.LUT_SIZE) // 12) % 251).astype(np.uint8)
+        enc, count, overflow = self._encode_header(host)
+        assert not overflow and count > LUT._V2_STEP
+        out = LUT.pull_encoded_v2(jnp.asarray(enc))
+        np.testing.assert_array_equal(out, host)
+
+    def test_block_overflow_flags_and_falls_back(self):
+        # one block with alternating values -> 64 boundaries > _V2_COLS
+        host = np.zeros(LUT.LUT_SIZE, np.uint8)
+        host[4096:4096 + 128] = (np.arange(128) % 2).astype(np.uint8) + 3
+        enc, count, overflow = self._encode_header(host)
+        assert overflow
+        assert LUT.pull_encoded_v2(jnp.asarray(enc)) is None
+        # pull_lut still exact via the v1 fallback
+        np.testing.assert_array_equal(LUT.pull_lut(jnp.asarray(host)), host)
+
+    def test_native_decode_matches_numpy(self):
+        from patolette_tpu import native
+
+        if not native.available():
+            pytest.fail(f"native library unavailable: {native.build_error()}")
+        host = ((np.arange(LUT.LUT_SIZE) // 777) % 199).astype(np.uint8)
+        enc, count, overflow = self._encode_header(host)
+        assert not overflow
+        words = enc[3:3 + count]
+        nat = native.rle_decode_u8_v2(words)
+        assert nat.shape == (LUT.LUT_SIZE + native.LUT_PAD,)
+        assert (nat[LUT.LUT_SIZE:] == 0).all()
+        pos = np.cumsum((words >> 8).astype(np.int64))
+        vals = (words & 0xFF).astype(np.uint8)
+        expect = np.repeat(vals, np.diff(np.append(pos, LUT.LUT_SIZE)))
+        np.testing.assert_array_equal(nat[:LUT.LUT_SIZE], expect)
+        np.testing.assert_array_equal(nat[:LUT.LUT_SIZE], host)
