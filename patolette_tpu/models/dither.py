@@ -74,18 +74,27 @@ def _dither_stream(colors2020, palette2020, valid, width, height, segment):
     perm2 = _step_major_perm(perm, seg, lanes, n)
     stream = jnp.take(colors2020, perm2, axis=0).reshape(seg, lanes, 3)
 
+    ps2 = jnp.sum(pal_scaled * pal_scaled, axis=-1)
+    ps2 = jnp.where(pal_valid, ps2, jnp.inf)
+    pa, pb, pc = pal_scaled[:, 0], pal_scaled[:, 1], pal_scaled[:, 2]
+    iota_k = jnp.arange(palette2020.shape[0], dtype=jnp.int32)
+
     def step(queue, px):
-        # queue: (lanes, QUEUE, 3); px: (lanes, 3)
+        # queue: (lanes, QUEUE, 3); px: (lanes, 3). Distance as exact-f32
+        # rank-1 outer products + one-hot palette selection — see the
+        # _dither_scan_core docstring for the r5 A/B (a bf16 matmul flips
+        # 38% of argmins; a per-step gather runs ~5 elem/cycle).
         err = jnp.einsum("q,lqc->lc", qw, queue)
         corrected = px + err  # unclamped (riemersma.c:303-312)
         q = corrected * chan_w[None, :]
-        d = (
-            jnp.sum(pal_scaled * pal_scaled, axis=-1)[None, :]
-            - 2.0 * jnp.dot(q, pal_scaled.T, precision="highest")
+        d = ps2[None, :] - 2.0 * (
+            q[:, 0:1] * pa[None, :]
+            + q[:, 1:2] * pb[None, :]
+            + q[:, 2:3] * pc[None, :]
         )
-        d = jnp.where(pal_valid[None, :], d, jnp.inf)
         idx = jnp.argmin(d, axis=-1).astype(jnp.int32)
-        chosen = jnp.take(palette2020, idx, axis=0)
+        oh = (idx[:, None] == iota_k[None, :]).astype(dtype)
+        chosen = jnp.dot(oh, palette2020, precision="highest")
         new_err = px - chosen
         queue = jnp.concatenate([queue[:, 1:], new_err[:, None, :]], axis=1)
         return queue, idx
@@ -171,8 +180,25 @@ def _dither_scan_core(xs, palette2020, valid, perm2, n, lanes):
 
     ``xs``: (seg, 3, lanes) linear-Rec2020 stream. One stacked op per
     stage (a 3-channel-tuple body costs ~4x more per step — r4 A/B:
-    221 -> 54 ms of body time at 4K) with the distance as an MXU
-    (K, 3) x (3, lanes) matmul.
+    221 -> 54 ms of body time at 4K).
+
+    Step-body formulation (r5 on-chip A/B over a 4.15 MP strip, sync
+    times incl. the ~26 ms pull floor):
+
+      * distance as VPU rank-1 outer products instead of a K=3-contraction
+        MXU matmul — exact f32, same math as ``precision="highest"``
+        (argmin agreement 0.9996 on random data; flips are rounding-order
+        ties). The bf16 default matmul is INADMISSIBLE (38% of argmins
+        flip); "high" still flips 5.7%.
+      * palette selection as a one-hot (K, lanes) matmul instead of a
+        per-step gather: gathers run ~5 elem/cycle on TPU, the one-hot
+        rides the MXU. ``precision="highest"`` keeps the selected colors
+        (and so the diffused error) exact — one-hot rows are exactly
+        representable, so the 3-pass product reconstructs f32 values.
+
+      mm_highest+gather 63.8 ms | outer+gather 66.5 | mm_highest+onehot
+      42.7 | outer+onehot 41.9 (chosen) — a ~2.3x cut of the scan-core
+      time net of the sync floor (37 -> 16 ms per 4.15 MP strip).
     """
     dtype = xs.dtype
     chan_wv = jnp.asarray([R_WEIGHT, G_WEIGHT, B_WEIGHT], dtype)
@@ -181,16 +207,22 @@ def _dither_scan_core(xs, palette2020, valid, perm2, n, lanes):
     ps2 = jnp.sum(pal_scaled * pal_scaled, axis=1)        # (K,)
     ps2 = jnp.where(valid, ps2, jnp.inf)
     pal_t = palette2020.T                                  # (3, K)
+    pa, pb, pc = pal_scaled[:, 0], pal_scaled[:, 1], pal_scaled[:, 2]
+    iota_k = jnp.arange(palette2020.shape[0], dtype=jnp.int32)
 
     def step(queues, px):
         # queues: (3, QUEUE, lanes); px: (3, lanes)
         corrected = px + jnp.einsum("q,cql->cl", qwv, queues)
         q = corrected * chan_wv[:, None]
-        d = ps2[:, None] - 2.0 * jnp.dot(
-            pal_scaled, q, precision="highest"
+        d = ps2[:, None] - 2.0 * (
+            pa[:, None] * q[0][None, :]
+            + pb[:, None] * q[1][None, :]
+            + pc[:, None] * q[2][None, :]
         )  # (K, lanes)
         idx = jnp.argmin(d, axis=0).astype(jnp.int32)
-        err = px - jnp.take(pal_t, idx, axis=1)            # (3, lanes)
+        oh = (iota_k[:, None] == idx[None, :]).astype(dtype)
+        chosen = jnp.dot(pal_t, oh, precision="highest")   # (3, lanes)
+        err = px - chosen
         queues = jnp.concatenate([queues[:, 1:], err[:, None, :]], axis=1)
         return queues, idx
 

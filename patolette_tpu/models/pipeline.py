@@ -242,6 +242,44 @@ def _kmeans_on_samples(samples, weights, centers, valid, niter):
     "p", "csp", "kmeans_niter", "kmeans_max_samples", "seed",
     "lq_batch_splits",
 ))
+def _sample_palette_program(sub, w_lq, sub_km, w_km, *, p, csp,
+                            kmeans_niter, kmeans_max_samples, seed,
+                            lq_batch_splits):
+    """Palette search on host-drawn samples as ONE async device program
+    (device f32 GQ DP — S8). Returns ``(centers, valid, pack)`` with
+    ``pack`` = [palette_sRGB flat (3p), valid (p)] f32 for a single tiny
+    host pull at the end.
+
+    Used by the streamed path: the staged host-DP variant needs a moment
+    pull mid-pipeline, and through the axon tunnel that sync point
+    serializes behind any queued strip uploads (measured r5: 3 pre-queued
+    uploads inflated the gq-moments lap 44 -> 549 ms). All-device control
+    keeps the whole [sample up][strip ups][palette][scans][map pulls]
+    chain free of host round trips until the first map pull.
+    """
+    def to_work(s):
+        if s.dtype == jnp.uint8:
+            s = s.astype(jnp.float32) * (1.0 / 255.0)
+        return cs.srgb_to_working(s, csp)
+
+    x_lq = to_work(sub)
+    x_km = None if sub_km is None else to_work(sub_km)
+    centers, valid = _palette_core(
+        x_lq, w_lq, p, int(kmeans_niter), int(kmeans_max_samples),
+        int(seed), None, max(1, int(lq_batch_splits)), 0,
+        x_km=x_km, w_km=w_km,
+    )
+    pal_srgb = cs.working_to_srgb(centers, csp)
+    pack = jnp.concatenate(
+        [pal_srgb.reshape(-1), valid.astype(jnp.float32)]
+    )
+    return centers, valid, pack
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "p", "csp", "kmeans_niter", "kmeans_max_samples", "seed",
+    "lq_batch_splits",
+))
 def _sample_lut_program(sub, w_lq, sub_km, w_km, grid, *, p, csp,
                         kmeans_niter, kmeans_max_samples, seed,
                         lq_batch_splits):
@@ -614,45 +652,89 @@ def _quantize_streamed(width, height, colors, p, *, dither, palette_only,
         sub, w_lq_h = colors[idx], None if w_host is None else w_host[idx]
     else:
         sub, w_lq_h = colors, w_host
-    x_lq = _to_working(_put_sample(sub), csp)
-    w_lq = None if w_lq_h is None else jnp.asarray(w_lq_h)
-    timer.lap("sample-in")
 
-    labels, count, centers, valid = _gq_lq_palette(
-        x_lq, w_lq, p, lq_batch_splits, verbose, timer
-    )
+    sub_km_h = None
     if kmeans_niter > 0:
         cap = KM.subsample_cap(p, int(kmeans_max_samples))
-        if n > cap:
+        if n > cap and not (len(sub) == cap and w_host is None):
             idx2 = rng.integers(0, n, size=cap)
-            x_km = _to_working(_put_sample(colors[idx2]), csp)
-            w_km = None if w_host is None else jnp.asarray(w_host[idx2])
-        elif sub is colors:
-            x_km, w_km = x_lq, w_lq
+            sub_km_h = colors[idx2]
+        elif n <= cap and sub is not colors:
+            sub_km_h = colors
+        # else: KMeans reuses the LQ sample inside the program (S11)
+
+    w_lq = w_km = None
+    if w_host is None and sub_km_h is not None \
+            and sub.dtype == sub_km_h.dtype:
+        both = _put_sample(np.concatenate([sub, sub_km_h]))  # ONE wire RPC
+        x_sub, sub_km = both[:len(sub)], both[len(sub):]
+    else:
+        x_sub = _put_sample(sub)
+        w_lq = None if w_lq_h is None else jnp.asarray(w_lq_h)
+        sub_km = None
+        if sub_km_h is not None:
+            sub_km = _put_sample(sub_km_h)
+            if w_host is not None:
+                w_km = jnp.asarray(
+                    w_host[idx2] if sub_km_h is not colors else w_host
+                )
+    timer.lap("sample-in")
+
+    # All-device palette program: no host sync until the first map pull,
+    # so the strip uploads dispatched right below ride the wire UNDER the
+    # palette's device work (see _sample_palette_program's docstring).
+    centers, valid, pack = _sample_palette_program(
+        x_sub, w_lq, sub_km, w_km, p=p, csp=csp,
+        kmeans_niter=int(kmeans_niter),
+        kmeans_max_samples=int(kmeans_max_samples), seed=int(seed),
+        lq_batch_splits=max(1, int(lq_batch_splits)),
+    )
+    _start_host_copy(pack)
+    _sync_stage(centers)
+    timer.lap("palette (device)")
+
+    strip_rows = max(1, _stream_strip_pixels(n) // max(1, width))
+    strip_bounds = [
+        (r0, min(height, r0 + strip_rows))
+        for r0 in range(0, height, strip_rows)
+    ]
+    in_flight = 3
+    strip_chans: dict[int, tuple] = {}
+
+    def _upload_strip(i):
+        if palette_only or i >= len(strip_bounds) or i in strip_chans:
+            return
+        r0, r1 = strip_bounds[i]
+        strip = colors[r0 * width:r1 * width]
+        if dither and strip.dtype == np.uint8:
+            # packed feed: ONE gather into Hilbert order instead of
+            # three (the gathers dominate the scan's non-wire cost)
+            strip_chans[i] = ("raw", wire.put_planar_raw(strip))
         else:
-            x_km = _to_working(_put_sample(colors), csp)
-            w_km = None if w_host is None else jnp.asarray(w_host)
-        centers = _kmeans_on_samples(
-            x_km, w_km, centers, valid, int(kmeans_niter)
-        )
-        timer.lap("kmeans")
+            strip_chans[i] = (
+                "work", _to_working(wire.put_planar_image(strip), csp)
+            )
+
+    for i in range(in_flight):
+        _upload_strip(i)
 
     palette_map = None
     if not palette_only:
-        strip_rows = max(1, _stream_strip_pixels(n) // max(1, width))
         palette_map = np.empty((n,), np.int32)
         mode = "dither" if dither else "nn-map"
         _log(verbose, f"Streamed {mode}: strips of {strip_rows} rows")
         # Pipelined dispatch with a BOUNDED in-flight window: after
-        # dispatching strip i, strip i-2's map is pulled, so at most 3
-        # strips' uploads + narrowed maps are device-resident at once
-        # (upload i and pull i-2 still overlap strip i-1's scan — the
-        # documented ~2-strip pipeline). Unbounded dispatch would hold
-        # every strip's map on device simultaneously: ~1-2 B/px over the
-        # WHOLE image, which near the 1.6 Gpx validation cap exceeds the
-        # very HBM budget this path guards (ADVICE r4 medium). Maps are
-        # narrowed to the wire dtype inside the dispatch loop for the
-        # same reason.
+        # dispatching strip i's scan, strip i+in_flight-1's upload is
+        # dispatched and strip i-2's map is pulled, so at most ~3 strips'
+        # uploads + narrowed maps are device-resident at once (upload and
+        # pull overlap the middle strip's scan — the documented ~2-strip
+        # pipeline). Unbounded dispatch would hold every strip's channels
+        # + map on device simultaneously, which near the 1.6 Gpx
+        # validation cap exceeds the very HBM budget this path guards
+        # (ADVICE r4 medium). Maps are narrowed to the wire dtype inside
+        # the dispatch loop for the same reason.
+        from patolette_tpu.models import dither as DITH
+
         pending = []
 
         def _pull(item):
@@ -660,38 +742,34 @@ def _quantize_streamed(width, height, colors, p, *, dither, palette_only,
             palette_map[r0_ * width:r1_ * width] = \
                 wire.get_palette_map(pm_, p)
 
-        for r0 in range(0, height, strip_rows):
-            r1 = min(height, r0 + strip_rows)
-            strip = colors[r0 * width:r1 * width]
-            if dither and strip.dtype == np.uint8:
-                # packed feed: ONE gather into Hilbert order instead of
-                # three (the gathers dominate the scan's non-wire cost)
-                from patolette_tpu.models import dither as DITH
-
-                xp8 = wire.put_planar_raw(strip)
+        for i, (r0, r1) in enumerate(strip_bounds):
+            _upload_strip(i)
+            kind, ch = strip_chans.pop(i)
+            if dither and kind == "raw":
                 pm = DITH.riemersma_dither_packed_u8(
-                    xp8, centers, valid, width, r1 - r0, csp,
+                    ch, centers, valid, width, r1 - r0, csp,
                     segment=dither_segment,
                 )
             elif dither:
-                from patolette_tpu.models import dither as DITH
-
-                xw = _to_working(wire.put_planar_image(strip), csp)
                 pm = DITH.riemersma_dither_planar(
-                    xw, centers, valid, width, r1 - r0, csp,
+                    ch, centers, valid, width, r1 - r0, csp,
                     segment=dither_segment,
                 )
             else:
-                xw = _to_working(wire.put_planar_image(strip), csp)
-                pm = _nn_map_stage_planar(xw, centers, valid, csp)
+                pm = _nn_map_stage_planar(ch, centers, valid, csp)
             pending.append((r0, r1, wire.narrow_map(pm, p)))
+            _upload_strip(i + in_flight)
             if len(pending) > 2:
                 _pull(pending.pop(0))
         for item in pending:
             _pull(item)
         timer.lap("dither" if dither else "nn-map")
 
-    palette = _finish_palette(centers, np.asarray(valid), p, csp)
+    pack_np = np.asarray(pack, np.float64)
+    pal_srgb = pack_np[:3 * p].reshape(p, 3)
+    valid_np = pack_np[3 * p:4 * p] > 0.5
+    palette = np.full((p, 3), -1.0)
+    palette[valid_np] = pal_srgb[valid_np]
     return True, palette, palette_map, errors.exit_code_message(
         errors.ExitCode.SUCCESS
     )
