@@ -1425,6 +1425,18 @@ def _quantize_sharded(width, height, colors, p, mesh, n_shards, *, dither,
 
     csp = int(color_space)
     n = width * height
+    # LUT wire routing on the mesh (VERDICT r4 next #4): a uint8 no-dither
+    # image previously shipped the full sharded map down the wire; when
+    # the 24-bit LUT applies, each shard instead argmins its slice of the
+    # code grid and the host pulls ~2 B/run + resolves pixels locally —
+    # bit-identical to the single-device LUT path (same argmin, same
+    # grid staging).
+    lut_route = (
+        not palette_only and not dither and colors.dtype == np.uint8
+        and p <= 256 and n >= _lut_min_pixels(p)
+        and LUT.LUT_SIZE % n_shards == 0
+    )
+    prefetch = LUT.CodesPrefetch(colors) if lut_route else None
     channels = PM.put_planar_sharded(colors, mesh)  # u8 raw or f32
     timer.lap("stage-in")
 
@@ -1460,7 +1472,7 @@ def _quantize_sharded(width, height, colors, p, mesh, n_shards, *, dither,
         w_full = PM.ones_sharded(n, mesh)
 
     _log(verbose, "Palette generation (sharded)")
-    with_map = (not palette_only) and (not dither)
+    with_map = (not palette_only) and (not dither) and (not lut_route)
     fn = PM.quantize_palette_sharded(
         mesh, p, color_space=csp, kmeans_niter=int(kmeans_niter),
         kmeans_max_samples=int(kmeans_max_samples), seed=int(seed),
@@ -1479,9 +1491,18 @@ def _quantize_sharded(width, height, colors, p, mesh, n_shards, *, dither,
                 planar=True,
             )
             palette_map = dfn(channels, palette_work, valid)
+            palette_map = wire.get_palette_map(palette_map, p)
+        elif lut_route:
+            _log(verbose, "NN mapping (sharded 24-bit LUT)")
+            enc, lut_dev = LUT.build_lut_enc_sharded(
+                mesh, palette_work, valid, csp
+            )
+            table = LUT.pull_lut_sharded(enc, lut_dev, n_shards)
+            palette_map = LUT.lut_map_host(
+                colors, table, codes=prefetch.take() if prefetch else None
+            )
         else:
-            palette_map = out[2]
-        palette_map = wire.get_palette_map(palette_map, p)
+            palette_map = wire.get_palette_map(out[2], p)
         timer.lap("dither" if dither else "nn-map")
 
     palette = _finish_palette(palette_work, np.asarray(valid), p, csp)

@@ -197,6 +197,10 @@ def _rle_encode_u8(lut):
 def _rle_encode_u8_v2(lut):
     """Delta-u16 RLE: half the wire bytes of v1 and ~4x less encode time.
 
+    Works on any table length divisible by ``_V2_FORCE`` — the sharded
+    mesh build encodes per-shard LUT slices with the same program
+    (positions are slice-relative; the host decoder rebases).
+
     Wire format (u16 words): [count_lo, count_hi, overflow, w_0..w_{n-1}]
     with w_i = (delta_i << 8) | value_i and pos_i = pos_{i-1} + delta_i
     (pos_0 = 0). A boundary is FORCED at every _V2_FORCE-th position, so
@@ -213,25 +217,26 @@ def _rle_encode_u8_v2(lut):
     measured max 11 on a 256-color LUT) set the overflow flag and the
     caller falls back to v1/raw.
     """
+    rows = lut.shape[0] // _V2_FORCE
     x = lut.astype(jnp.uint16)
     boundary = jnp.concatenate(
         [jnp.ones((1,), bool), lut[1:] != lut[:-1]]
     )
-    colv = jax.lax.broadcasted_iota(jnp.uint16, (_V2_ROWS, _V2_FORCE), 1)
-    bcols = boundary.reshape(_V2_ROWS, _V2_FORCE)
+    colv = jax.lax.broadcasted_iota(jnp.uint16, (rows, _V2_FORCE), 1)
+    bcols = boundary.reshape(rows, _V2_FORCE)
     bcols = bcols | (colv == 0)  # forced block-start boundaries
     count = jnp.sum(bcols, dtype=jnp.uint32)
     c_row = jnp.sum(bcols, axis=1, dtype=jnp.int32)
     overflow = jnp.any(c_row > _V2_COLS) | (count > jnp.uint32(MAX_RUNS))
     rowkeys = jnp.where(
-        bcols, (colv << 8) | x.reshape(_V2_ROWS, _V2_FORCE),
+        bcols, (colv << 8) | x.reshape(rows, _V2_FORCE),
         jnp.uint16(0xFFFF),
     )
     rowkeys = jax.lax.sort(rowkeys, dimension=1, is_stable=False)
     rowkeys = rowkeys[:, :_V2_COLS]
 
     col = (rowkeys >> 8).astype(jnp.uint32)
-    base = (jax.lax.iota(jnp.uint32, _V2_ROWS) * _V2_FORCE)[:, None]
+    base = (jax.lax.iota(jnp.uint32, rows) * _V2_FORCE)[:, None]
     keys = jnp.where(
         col < _V2_FORCE,
         ((base + col) << 8) | (rowkeys & jnp.uint16(0xFF)).astype(jnp.uint32),
@@ -252,41 +257,54 @@ def _rle_encode_u8_v2(lut):
     return jnp.concatenate([header, words])
 
 
-def _rle_decode_v2(words: np.ndarray) -> np.ndarray:
-    """v2 words -> (2^24,) u8 table (native memset path or numpy repeat)."""
+def _rle_decode_v2(words: np.ndarray,
+                   table_size: int = LUT_SIZE) -> np.ndarray:
+    """v2 words -> (table_size,) u8 table (native memset or numpy repeat)."""
     from patolette_tpu import native
 
-    dec = native.rle_decode_u8_v2(words)
+    dec = native.rle_decode_u8_v2(words, table_size)
     if dec is not None:
-        return dec[:LUT_SIZE]
+        return dec[:table_size]
     pos = np.cumsum((words >> 8).astype(np.int64))
     pos -= pos[0]  # delta_0 is 0 by construction; keep exact anyway
     vals = (words & 0xFF).astype(np.uint8)
-    lengths = np.diff(np.append(pos, LUT_SIZE))
+    lengths = np.diff(np.append(pos, table_size))
     return np.repeat(vals, lengths)
+
+
+def pull_words_v2(enc, base: int = 0) -> np.ndarray | None:
+    """Pull the run words of a `_rle_encode_u8_v2` buffer located at word
+    offset ``base`` inside ``enc`` (0 for a single-device buffer; shard
+    offsets for the stacked sharded build). None on overflow."""
+    total = enc.shape[0]
+    step = min(_V2_STEP, total)
+    start = min(base, total - step)
+    first = np.asarray(wire._slice_1d(enc, start, step))
+    off = base - start
+    count = int(first[off]) | (int(first[off + 1]) << 16)
+    if first[off + 2] or count > MAX_RUNS:
+        return None
+    head = first[off + 3:]
+    if count <= len(head):
+        return head[:count]
+    parts = [head]
+    got = len(head)
+    while got < count:
+        w_start = min(base + 3 + got, total - step)
+        win = np.asarray(wire._slice_1d(enc, w_start, step))
+        w_off = base + 3 + got - w_start
+        take = min(step - w_off, count - got)
+        parts.append(win[w_off:w_off + take])
+        got += take
+    return np.concatenate(parts)
 
 
 def pull_encoded_v2(enc) -> np.ndarray | None:
     """Pull + decode a `_rle_encode_u8_v2` buffer; None on overflow (caller
     falls back to the v1 encode or a raw table pull)."""
-    first = np.asarray(wire._slice_1d(enc, 0, _V2_STEP))
-    count = int(first[0]) | (int(first[1]) << 16)
-    if first[2] or count > MAX_RUNS:
+    words = pull_words_v2(enc)
+    if words is None:
         return None
-    if count <= _V2_STEP - 3:
-        words = first[3:3 + count]
-    else:
-        parts = [first[3:]]
-        got = _V2_STEP - 3
-        total = enc.shape[0]
-        while got < count:
-            start = min(3 + got, total - _V2_STEP)
-            win = np.asarray(wire._slice_1d(enc, start, _V2_STEP))
-            off = 3 + got - start
-            take = min(_V2_STEP - off, count - got)
-            parts.append(win[off:off + take])
-            got += take
-        words = np.concatenate(parts)
     return _rle_decode_v2(words)
 
 
@@ -346,6 +364,106 @@ def pull_encoded(enc) -> np.ndarray | None:
             got += take
         packed = np.concatenate(parts)
     return _rle_decode(packed)
+
+
+# --------------------------------------------------------------------------
+# Sharded LUT build (mesh path): argmin + RLE per grid slice
+# --------------------------------------------------------------------------
+
+_GRID_MESH_CACHE: dict = {}  # (color_space, mesh) -> sharded grid tuple
+
+
+def grid_ictcp_sharded(color_space: int, mesh):
+    """Sharded ICtCp grid: each shard holds its contiguous slice of the
+    2^24 uint8 sRGB codes (same per-space single-entry caching as
+    :func:`grid_ictcp`; 201 MB total split over the mesh)."""
+    from jax.sharding import PartitionSpec as P
+    from patolette_tpu.parallel.mesh import AXIS
+
+    key = (int(color_space), mesh)
+    g = _GRID_MESH_CACHE.get(key)
+    if g is not None:
+        return g
+    n_shards = mesh.devices.size
+    per = LUT_SIZE // n_shards
+    chunk = min(_CHUNK, per)
+
+    def body():
+        shard = jax.lax.axis_index(AXIS).astype(jnp.int32)
+
+        def b(_, start):
+            codes = start + jax.lax.iota(jnp.int32, chunk)
+            inv = jnp.float32(1.0 / 255.0)
+            r = ((codes >> 16) & 0xFF).astype(jnp.float32) * inv
+            gg = ((codes >> 8) & 0xFF).astype(jnp.float32) * inv
+            bb = (codes & 0xFF).astype(jnp.float32) * inv
+            xw = cs.srgb_to_working((r, gg, bb), int(color_space))
+            return None, cs.working_to_ictcp(xw, int(color_space))
+
+        starts = shard * per + jnp.arange(0, per, chunk, dtype=jnp.int32)
+        _, grid = jax.lax.scan(b, None, starts)
+        return grid
+
+    mapped = jax.shard_map(
+        body, mesh=mesh, in_specs=(), out_specs=(P(AXIS),) * 3,
+        check_vma=False,
+    )
+    _GRID_MESH_CACHE.clear()
+    g = jax.jit(mapped)()
+    _GRID_MESH_CACHE[key] = g
+    return g
+
+
+def build_lut_enc_sharded(mesh, palette_working, valid, color_space: int):
+    """Sharded 24-bit LUT build: per-shard distance argmin over the grid
+    slice + per-shard RLE v2 encode (VERDICT r4 next #4 — the mesh path
+    previously shipped the full sharded palette map over the wire; this
+    pulls ~2 B/run instead).
+
+    Returns ``(enc, lut)``: ``enc`` a (n_shards * buf,) u16 array, shard
+    s's v2 buffer at word offset s*buf with slice-relative positions;
+    ``lut`` the (2^24,) u8 table row-sharded (only pulled on overflow).
+    """
+    from jax.sharding import PartitionSpec as P
+    from patolette_tpu.parallel.mesh import AXIS
+
+    grid = grid_ictcp_sharded(color_space, mesh)
+
+    def body(ga, gb, gc, pw, v):
+        pi, c2 = _palette_ictcp(pw, v, int(color_space))
+        lut_slice = _argmin_lut((ga, gb, gc), pi, c2, jnp.uint8)
+        return _rle_encode_u8_v2(lut_slice), lut_slice
+
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P()),
+        out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(mapped)(*grid, palette_working, valid)
+
+
+def pull_lut_sharded(enc, lut_sharded, n_shards: int) -> np.ndarray:
+    """Assemble the full padded host table from per-shard v2 buffers.
+
+    Per-shard overflow (pathological fragmentation) falls back to a raw
+    pull of just that shard's table slice. Returns a
+    (2^24 + LUT_PAD,) u8 array directly usable by :func:`lut_map_host`.
+    """
+    from patolette_tpu import native
+
+    per = LUT_SIZE // n_shards
+    buf = enc.shape[0] // n_shards
+    table = np.zeros(LUT_SIZE + native.LUT_PAD, np.uint8)
+    for s in range(n_shards):
+        words = pull_words_v2(enc, base=s * buf)
+        if words is None:  # overflow: raw slice pull
+            table[s * per:(s + 1) * per] = np.asarray(
+                wire._slice_1d(lut_sharded, s * per, per)
+            )
+        else:
+            table[s * per:(s + 1) * per] = _rle_decode_v2(words, per)
+    return table
 
 
 class CodesPrefetch:

@@ -149,3 +149,61 @@ def test_sharded_dither_planar_matches_interleaved(mesh8):
         PM.put_planar_sharded(colors, mesh8), jnp.asarray(pal), valid
     ))
     np.testing.assert_array_equal(map_i, map_p)
+
+
+def test_mesh_lut_bit_matches_single_device(mesh8):
+    """The sharded LUT build (per-shard grid argmin + per-shard RLE) must
+    reproduce the single-device 24-bit table BYTE FOR BYTE — same argmin
+    orientation, same grid staging (VERDICT r4 next #4 'Done' gate)."""
+    import jax.numpy as jnp
+
+    from patolette_tpu.ops import colorspace as cs
+    from patolette_tpu.ops import lut as LUT
+
+    rng = np.random.default_rng(11)
+    p = 16
+    pal_srgb = jnp.asarray(rng.uniform(0.05, 0.95, (p, 3)), jnp.float32)
+    pal_work = cs.srgb_to_working(pal_srgb, 2)
+    valid = jnp.asarray([True] * (p - 1) + [False])
+
+    single = np.asarray(LUT.build_lut_device(pal_work, valid, 2, jnp.uint8))
+
+    enc, lut_dev = LUT.build_lut_enc_sharded(mesh8, pal_work, valid, 2)
+    table = LUT.pull_lut_sharded(enc, lut_dev, 8)
+    np.testing.assert_array_equal(table[:LUT.LUT_SIZE], single)
+    assert (table[LUT.LUT_SIZE:] == 0).all()
+
+
+def test_mesh_lut_route_e2e(mesh8, monkeypatch):
+    """quantize(mesh=...) with a uint8 no-dither image takes the LUT wire
+    route and produces a valid map + palette."""
+    from patolette_tpu.models import pipeline
+
+    monkeypatch.setattr(pipeline, "LUT_MIN_PIXELS", 0)
+    h, w = 64, 64
+    colors = (np.clip(_image(h, w, seed=5), 0, 1) * 255).astype(np.uint8)
+    ok, pal, pmap, msg = pt.quantize(
+        w, h, colors, 8, dither=False, tile_size=0, kmeans_niter=2,
+        mesh=mesh8,
+    )
+    assert ok, msg
+    live = np.flatnonzero(pal[:, 0] >= 0)
+    assert np.isin(np.unique(pmap), live).all()
+    # the LUT route is exact NN in ICtCp: spot-check against direct assign
+    from patolette_tpu.ops import colorspace as cs
+    from patolette_tpu.ops.assign import assign_planar
+    import jax.numpy as jnp
+
+    pix = colors[:512]
+    chans = tuple(
+        jnp.asarray(pix[:, k], jnp.float32) * (1.0 / 255.0)
+        for k in range(3)
+    )
+    pal_work = cs.srgb_to_working(jnp.asarray(np.clip(pal, 0, 1),
+                                              jnp.float32), 2)
+    xi = cs.working_to_ictcp(cs.srgb_to_working(chans, 2), 2)
+    pi = cs.working_to_ictcp(pal_work, 2)
+    direct = np.asarray(assign_planar(
+        xi, pi, valid=jnp.asarray(pal[:, 0] >= 0)
+    ))
+    assert (pmap[:512] == direct).mean() > 0.99  # palette f32 round-trip
