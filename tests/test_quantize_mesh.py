@@ -207,3 +207,24 @@ def test_mesh_lut_route_e2e(mesh8, monkeypatch):
         xi, pi, valid=jnp.asarray(pal[:, 0] >= 0)
     ))
     assert (pmap[:512] == direct).mean() > 0.99  # palette f32 round-trip
+
+
+def test_sharded_sync_stage_laps(mesh8):
+    """PATOLETTE_SYNC_STAGES attribution covers every sharded stage, so a
+    pod run's laps are individually attributable (VERDICT r4 weak #6)."""
+    from patolette_tpu.models import pipeline
+
+    prev = pipeline.set_sync_stages(True)
+    try:
+        h, w = 32, 64
+        colors = _image(h, w, seed=9)
+        ok, _, _, msg = pt.quantize(
+            w, h, colors, 8, dither=False, tile_size=512, kmeans_niter=2,
+            mesh=mesh8,
+        )
+        assert ok, msg
+        laps = pipeline.LAST_STAGE_TIMES
+        assert {"stage-in", "saliency", "palette (sharded)",
+                "nn-map"} <= set(laps)
+    finally:
+        pipeline.set_sync_stages(prev)

@@ -117,3 +117,89 @@ class TestStreamedRouting:
         assert msg.startswith("Internal quantization error.")
         assert "lq_max_samples" in msg
 
+
+
+class TestFootprintHonesty:
+    def test_estimate_covers_compiled_programs(self):
+        """_device_footprint_bytes must upper-bound XLA's own memory
+        analysis of the resident path's dominant programs plus the
+        caller-held planar copies (VERDICT r4 weak #5: the constant model
+        was never checked against a measurement)."""
+        import jax
+        import jax.numpy as jnp
+
+        from patolette_tpu.models import dither as DITH
+
+        n = 1 << 20
+        w, h = 1024, 1024
+        p = 256
+        ch = jax.ShapeDtypeStruct((n,), jnp.float32)
+        pal = jax.ShapeDtypeStruct((p, 3), jnp.float32)
+        valid = jax.ShapeDtypeStruct((p,), jnp.bool_)
+
+        def measure(fn, *args):
+            mem = jax.jit(fn).lower(*args).compile().memory_analysis()
+            return (mem.temp_size_in_bytes + mem.argument_size_in_bytes
+                    + mem.output_size_in_bytes)
+
+        held_srgb = 12 * n  # xp_srgb stays referenced while xp_work is live
+
+        dither_total = held_srgb + measure(
+            lambda chs, pw, v: DITH.riemersma_dither_planar(
+                chs, pw, v, w, h, 2, segment=4096
+            ),
+            (ch, ch, ch), pal, valid,
+        )
+        assert pipeline._device_footprint_bytes(n, True) >= dither_total, (
+            f"dither footprint model {pipeline._device_footprint_bytes(n, True)}"
+            f" < measured {dither_total}"
+        )
+
+        nn_total = held_srgb + measure(
+            lambda chs, pw, v: pipeline._nn_map_stage_planar(chs, pw, v, 2),
+            (ch, ch, ch), pal, valid,
+        )
+        assert pipeline._device_footprint_bytes(n, False) >= nn_total, (
+            f"nn-map footprint model {pipeline._device_footprint_bytes(n, False)}"
+            f" < measured {nn_total}"
+        )
+
+    def test_oom_on_resident_path_retries_streamed(self, monkeypatch):
+        """A RESOURCE_EXHAUSTED escaping the footprint guard re-routes
+        through the streamed path instead of the typed -1 (r4 next #8)."""
+        calls = {"n": 0}
+        orig = pipeline._kmeans_stage_planar
+
+        def boom(*a, **k):
+            calls["n"] += 1
+            raise RuntimeError(
+                "RESOURCE_EXHAUSTED: Out of memory while trying to "
+                "allocate 99999999999 bytes."
+            )
+
+        # only the resident path calls _kmeans_stage_planar; the streamed
+        # retry uses _sample_palette_program
+        monkeypatch.setattr(pipeline, "_kmeans_stage_planar", boom)
+        monkeypatch.setenv("PATOLETTE_NO_ONE_SHOT", "1")
+        colors = _image()
+        ok, pal, pmap, msg = pt.quantize(
+            96, 64, colors, 16, dither=False, tile_size=0, kmeans_niter=2,
+            lq_max_samples=1024,
+        )
+        assert calls["n"] == 1, "resident path never hit the injected OOM"
+        assert ok, msg
+        live = np.flatnonzero(pal[:, 0] >= 0)
+        assert np.isin(np.unique(pmap), live).all()
+
+    def test_non_oom_error_still_types_minus_one(self, monkeypatch):
+        def boom(*a, **k):
+            raise RuntimeError("some unrelated tracer explosion")
+
+        monkeypatch.setattr(pipeline, "_kmeans_stage_planar", boom)
+        monkeypatch.setenv("PATOLETTE_NO_ONE_SHOT", "1")
+        ok, pal, pmap, msg = pt.quantize(
+            96, 64, _image(), 16, dither=False, tile_size=0, kmeans_niter=2,
+            lq_max_samples=1024,
+        )
+        assert ok is False and pal is None
+        assert msg.startswith("Internal quantization error.")
