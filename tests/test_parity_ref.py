@@ -28,8 +28,12 @@ from patolette_tpu.ops import colorspace as cs
 
 import ref_oracle as oracle
 
-MEAN_TOL = 1.005  # 0.5% north-star budget, on the battery mean
-CASE_TOL = 1.06   # per-case ceiling (documented optimizer scatter)
+MEAN_TOL = 1.005    # 0.5% north-star budget, on the battery mean
+MEDIAN_TOL = 1.01   # r5: a one-class regression can't hide under a
+                    # compensating mean (measured median 1.0015 over 26
+                    # cases; VERDICT r4 next #7)
+CASE_TOL = 1.055    # per-case ceiling (measured max 1.0497 — the
+                    # eigenvector-sign tie at the first LQ split)
 
 
 def _mse_luv(colors_srgb, palette_srgb, pmap):
@@ -113,26 +117,32 @@ def test_parity_battery():
     side = 80
     ratios = {}
 
-    # unweighted ICtCp, with/without refinement, several seeds
-    for seed in (0, 5, 6):
+    # unweighted ICtCp, with/without refinement, several seeds (widened
+    # r5 so the median gate sees a real distribution — VERDICT r4 #7)
+    for seed in (0, 5, 6, 8, 9, 10):
         c = _gaussian_mixture(side * side, seed=seed)
         ratios[f"ictcp{seed}_km0"] = _ratio(
             c, side, 64, pt.ColorSpace_ICtCp, 0
         )
-    for seed in (0, 5):
+    for seed in (0, 5, 9):
         c = _gaussian_mixture(side * side, seed=seed)
         ratios[f"ictcp{seed}_km15"] = _ratio(
             c, side, 64, pt.ColorSpace_ICtCp, 15
         )
 
     # CIELuv working space
-    c1 = _gaussian_mixture(side * side, seed=1)
-    ratios["luv_km0"] = _ratio(c1, side, 32, pt.ColorSpace_CIELuv, 0)
-    ratios["luv_km10"] = _ratio(c1, side, 32, pt.ColorSpace_CIELuv, 10)
+    for seed in (1, 11):
+        c1 = _gaussian_mixture(side * side, seed=seed)
+        ratios[f"luv{seed}_km0"] = _ratio(
+            c1, side, 32, pt.ColorSpace_CIELuv, 0
+        )
+        ratios[f"luv{seed}_km10"] = _ratio(
+            c1, side, 32, pt.ColorSpace_CIELuv, 10
+        )
 
     # weighted path (weighted PCA/LQ + weighted KMeans; oracle runs the
     # exact Q2 truncated masses against our float masses)
-    for seed in (2, 3, 4):
+    for seed in (2, 3, 4, 12):
         c = _gaussian_mixture(side * side, seed=seed)
         w = 1.0 + 3.0 * np.random.default_rng(100 + seed).random(side * side)
         ratios[f"w{seed}_km0"] = _ratio(
@@ -159,18 +169,24 @@ def test_parity_battery():
     ratios["photo3_luv_km0"] = _ratio(ph, 128, 64, pt.ColorSpace_CIELuv, 0)
     ratios["photo3_srgb_km10"] = _ratio(ph, 128, 64, pt.ColorSpace_sRGB, 10)
 
-    _report_and_gate(ratios)
+    _report_and_gate(ratios, median_tol=MEDIAN_TOL)
 
 
-def _report_and_gate(ratios, mean_tol=MEAN_TOL, case_tol=CASE_TOL):
-    """Per-case histogram + the two gates; printed under -s so the ceiling
-    can be tightened from the artifact (VERDICT r3 #8)."""
-    mean = float(np.mean(list(ratios.values())))
+def _report_and_gate(ratios, mean_tol=MEAN_TOL, case_tol=CASE_TOL,
+                     median_tol=None):
+    """Per-case histogram + the three gates; printed under -s so the
+    ceilings can be tightened from the artifact (VERDICT r3 #8, r4 #7)."""
+    vals = list(ratios.values())
+    mean = float(np.mean(vals))
+    median = float(np.median(vals))
     srt = sorted(ratios.items(), key=lambda kv: kv[1])
     lines = "\n".join(f"  {v:8.5f}  {k}" for k, v in srt)
-    print(f"\nparity battery ({len(ratios)} cases, mean {mean:.5f}):\n{lines}")
+    print(f"\nparity battery ({len(ratios)} cases, mean {mean:.5f}, "
+          f"median {median:.5f}):\n{lines}")
     worst = srt[-1]
     assert mean <= mean_tol, f"mean={mean:.5f}\n{lines}"
+    if median_tol is not None:
+        assert median <= median_tol, f"median={median:.5f}\n{lines}"
     assert worst[1] <= case_tol, f"{worst[0]}={worst[1]:.5f}\n{lines}"
 
 
