@@ -143,6 +143,10 @@ def _load():
         ctypes.POINTER(ctypes.c_uint16), ctypes.c_long,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
     ]
+    lib.oracle_rle_decode_u16_v2.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.c_long,
+    ]
     lib.oracle_pack_codes.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_int,
@@ -351,6 +355,22 @@ def rle_decode_u8_v2(words, table_size: int = LUT_SIZE):
     lib.oracle_rle_decode_u8_v2(
         _ptr(words, ctypes.c_uint16), len(words),
         _ptr(out, ctypes.c_uint8), table_size,
+    )
+    return out
+
+
+def rle_decode_u16_v2(words, table_size: int = LUT_SIZE):
+    """Decode the u32-word RLE v2 format into a PADDED uint16 table
+    ((table_size + LUT_PAD,) — the 4-element tail keeps the AVX-512
+    gather contract), or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    words = np.ascontiguousarray(words, np.uint32)
+    out = np.zeros(table_size + LUT_PAD, np.uint16)
+    lib.oracle_rle_decode_u16_v2(
+        _ptr(words, ctypes.c_uint32), len(words),
+        _ptr(out, ctypes.c_uint16), table_size,
     )
     return out
 

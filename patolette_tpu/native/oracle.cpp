@@ -546,4 +546,20 @@ void oracle_rle_decode_u8_v2(const uint16_t* words, long nruns, uint8_t* out,
     }
 }
 
+// u16-value variant (ops/lut.py _rle_encode_u16_v2): u32 words
+// (delta << 16) | value, same position scheme; fills a uint16 table.
+void oracle_rle_decode_u16_v2(const uint32_t* words, long nruns,
+                              uint16_t* out, long table_size) {
+    if (nruns <= 0) return;
+    long pos = 0;
+    for (long r = 0; r < nruns; r++) {
+        pos += (long)(words[r] >> 16);
+        const long end = (r + 1 < nruns)
+            ? pos + (long)(words[r + 1] >> 16) : table_size;
+        if (end > pos && pos < table_size)
+            std::fill_n(out + pos, (size_t)(std::min(end, table_size) - pos),
+                        (uint16_t)(words[r] & 0xFFFF));
+    }
+}
+
 }  // extern "C"

@@ -257,6 +257,88 @@ def _rle_encode_u8_v2(lut):
     return jnp.concatenate([header, words])
 
 
+@jax.jit
+def _rle_encode_u16_v2(lut):
+    """RLE v2 for uint16 tables (256 < palette <= 65536): u32 words
+    ``(delta << 16) | value`` with the same forced-boundary / two-stage
+    compaction scheme as :func:`_rle_encode_u8_v2`. The global stage
+    sorts a u32 position key with the u16 value riding as a payload
+    operand (``lax.sort`` num_keys=1) — no u64 keys, so it runs without
+    x64. Header: u32 [count, overflow]. ~4 B/run vs the 33.5 MB raw
+    table pull (VERDICT r4 next #6 — the large-palette regime paid the
+    raw wire).
+    """
+    rows = lut.shape[0] // _V2_FORCE
+    x32 = lut.astype(jnp.uint32)
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), lut[1:] != lut[:-1]]
+    )
+    colv = jax.lax.broadcasted_iota(jnp.uint32, (rows, _V2_FORCE), 1)
+    bcols = boundary.reshape(rows, _V2_FORCE) | (colv == 0)
+    count = jnp.sum(bcols, dtype=jnp.uint32)
+    c_row = jnp.sum(bcols, axis=1, dtype=jnp.int32)
+    overflow = jnp.any(c_row > _V2_COLS) | (count > jnp.uint32(MAX_RUNS))
+
+    rowkeys = jnp.where(
+        bcols, (colv << 16) | x32.reshape(rows, _V2_FORCE),
+        jnp.uint32(0xFFFFFFFF),
+    )
+    rowkeys = jax.lax.sort(rowkeys, dimension=1, is_stable=False)
+    rowkeys = rowkeys[:, :_V2_COLS]
+
+    col = rowkeys >> 16
+    base = (jax.lax.iota(jnp.uint32, rows) * _V2_FORCE)[:, None]
+    pos = jnp.where(
+        col < _V2_FORCE, base + col, jnp.uint32(0xFFFFFFFF)
+    ).reshape(-1)
+    vals = (rowkeys & jnp.uint32(0xFFFF)).reshape(-1)
+    pos, vals = jax.lax.sort((pos, vals), dimension=0, num_keys=1)
+
+    prev = jnp.concatenate([jnp.zeros((1,), jnp.uint32), pos[:-1]])
+    words = ((pos - prev) << 16) | vals
+    header = jnp.stack([count, overflow.astype(jnp.uint32)])
+    return jnp.concatenate([header, words])
+
+
+def pull_words_u16_v2(enc) -> np.ndarray | None:
+    """Pull the u32 run words of a `_rle_encode_u16_v2` buffer; None on
+    overflow."""
+    total = enc.shape[0]
+    step = min(_V2_STEP, total)
+    first = np.asarray(wire._slice_1d(enc, 0, step))
+    count = int(first[0])
+    if first[1] or count > MAX_RUNS:
+        return None
+    head = first[2:]
+    if count <= len(head):
+        return head[:count]
+    parts = [head]
+    got = len(head)
+    while got < count:
+        start = min(2 + got, total - step)
+        win = np.asarray(wire._slice_1d(enc, start, step))
+        off = 2 + got - start
+        take = min(step - off, count - got)
+        parts.append(win[off:off + take])
+        got += take
+    return np.concatenate(parts)
+
+
+def _rle_decode_u16_v2(words: np.ndarray,
+                       table_size: int = LUT_SIZE) -> np.ndarray:
+    """u32 v2 words -> (table_size,) u16 table."""
+    from patolette_tpu import native
+
+    dec = native.rle_decode_u16_v2(words, table_size)
+    if dec is not None:
+        return dec[:table_size]
+    pos = np.cumsum((words >> 16).astype(np.int64))
+    pos -= pos[0]
+    vals = (words & 0xFFFF).astype(np.uint16)
+    lengths = np.diff(np.append(pos, table_size))
+    return np.repeat(vals, lengths)
+
+
 def _rle_decode_v2(words: np.ndarray,
                    table_size: int = LUT_SIZE) -> np.ndarray:
     """v2 words -> (table_size,) u8 table (native memset or numpy repeat)."""
@@ -329,7 +411,13 @@ def pull_lut(lut_dev) -> np.ndarray:
 
     Tries the v2 delta-u16 encode first (half the bytes, ~4x cheaper
     encode), then the v1 u32 encode (no per-block cap), then the raw
-    16.7 MB pull."""
+    16.7 MB pull. uint16 tables (256 < palette <= 65536) ride the u32
+    v2 format with a raw 33.5 MB fallback."""
+    if lut_dev.dtype == jnp.uint16:
+        words = pull_words_u16_v2(_rle_encode_u16_v2(lut_dev))
+        if words is not None:
+            return _rle_decode_u16_v2(words)
+        return wire.get_1d(lut_dev)
     if lut_dev.dtype != jnp.uint8:
         return wire.get_1d(lut_dev)
     out = pull_encoded_v2(_rle_encode_u8_v2(lut_dev))

@@ -310,3 +310,45 @@ class TestRleV2:
         expect = np.repeat(vals, np.diff(np.append(pos, LUT.LUT_SIZE)))
         np.testing.assert_array_equal(nat[:LUT.LUT_SIZE], expect)
         np.testing.assert_array_equal(nat[:LUT.LUT_SIZE], host)
+
+
+class TestRleU16V2:
+    """u32-word RLE v2 for uint16 tables (large-palette wire)."""
+
+    def test_roundtrip(self):
+        rng = np.random.default_rng(31)
+        runs = 400_000
+        pos = np.sort(
+            rng.choice(LUT.LUT_SIZE - 1, size=runs - 1, replace=False) + 1
+        )
+        vals = rng.integers(0, 4096, size=runs).astype(np.uint16)
+        same = np.flatnonzero(vals[1:] == vals[:-1])
+        vals[same + 1] = ((vals[same + 1].astype(np.int32) + 1)
+                          % 4096).astype(np.uint16)
+        host = np.repeat(
+            vals, np.diff(np.concatenate([[0], pos, [LUT.LUT_SIZE]]))
+        )
+        enc = LUT._rle_encode_u16_v2(jnp.asarray(host))
+        words = LUT.pull_words_u16_v2(enc)
+        assert words is not None
+        out = LUT._rle_decode_u16_v2(words)
+        np.testing.assert_array_equal(out, host)
+        # numpy fallback decode agrees with the native one
+        import patolette_tpu.native as native
+        import unittest.mock as mock
+
+        with mock.patch.object(native, "rle_decode_u16_v2",
+                               lambda *a, **k: None):
+            out_np = LUT._rle_decode_u16_v2(np.asarray(words))
+        np.testing.assert_array_equal(out_np, host)
+
+    def test_pull_lut_u16_route(self):
+        host = ((np.arange(LUT.LUT_SIZE) // 600) % 1024).astype(np.uint16)
+        np.testing.assert_array_equal(LUT.pull_lut(jnp.asarray(host)), host)
+
+    def test_overflow_falls_back_raw(self):
+        host = np.zeros(LUT.LUT_SIZE, np.uint16)
+        host[2048:2048 + 128] = (np.arange(128) % 2 + 7).astype(np.uint16)
+        enc = LUT._rle_encode_u16_v2(jnp.asarray(host))
+        assert LUT.pull_words_u16_v2(enc) is None
+        np.testing.assert_array_equal(LUT.pull_lut(jnp.asarray(host)), host)

@@ -276,3 +276,37 @@ class TestUint8Input:
             96, 64, colors, 300, dither=False, tile_size=0, kmeans_niter=0
         )
         assert ok and pmap.dtype == np.int32 and pal.shape == (300, 3)
+
+
+def test_large_palette_1024_end_to_end():
+    """p=1024 exercises the LQ bsz cap (~132 fori rounds), the u16 map
+    wire, and quality monotonicity vs a small palette (VERDICT r4 next
+    #6 — the large-palette regime was previously uncompiled)."""
+    rng = np.random.default_rng(41)
+    side = 96
+    # continuous gradient + noise: far more than 1024 distinct colors
+    yy, xx = np.mgrid[0:side, 0:side] / side
+    img = np.stack([
+        xx, yy, 0.5 + 0.45 * np.sin(6.0 * xx) * np.cos(5.0 * yy)
+    ], axis=-1)
+    img = np.clip(img + 0.02 * rng.standard_normal(img.shape), 0, 1)
+    img8 = np.round(img.reshape(-1, 3) * 255).astype(np.uint8)
+
+    ok, pal, pmap, msg = pt.quantize(
+        side, side, img8, 1024, dither=False, tile_size=0, kmeans_niter=4,
+    )
+    assert ok, msg
+    assert pal.shape == (1024, 3)
+    live = np.flatnonzero(pal[:, 0] >= 0)
+    assert len(live) > 256  # the LQ loop really went past the u8 regime
+    assert pmap.dtype == np.int32 and pmap.max() < 1024
+    assert np.isin(np.unique(pmap), live).all()
+
+    ok2, pal2, pmap2, _ = pt.quantize(
+        side, side, img8, 64, dither=False, tile_size=0, kmeans_niter=4,
+    )
+    assert ok2
+    x = img8 / 255.0
+    mse_1024 = np.mean((np.clip(pal, 0, 1)[pmap] - x) ** 2)
+    mse_64 = np.mean((np.clip(pal2, 0, 1)[pmap2] - x) ** 2)
+    assert mse_1024 < 0.5 * mse_64
