@@ -26,8 +26,9 @@ BASELINE_MPS_PER_CHIP = 25.0
 WIDTH, HEIGHT = 10000, 10000
 PALETTE = 256
 KMEANS_ITERS = 25
-# best-of-3: wall times through the axon tunnel swing +-20-40% run to run
-REPEATS = 3
+# best-of-5: wall times through the axon tunnel swing +-20-40% run to run
+# (each warm rep costs ~0.4 s; a wider min is cheap and far less noisy)
+REPEATS = 5
 
 
 def synth_image_u8(w, h, seed=0, tile=1000):
