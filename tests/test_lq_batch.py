@@ -59,3 +59,15 @@ class TestBatchedSplits:
                               1, 16, batch_splits=4)
         assert int(c) == 16
         assert len(np.unique(np.asarray(l))) == 16
+
+    def test_batch16_matches_sequential_quality(self):
+        colors = _image(seed=5)
+        labels0 = jnp.zeros(len(colors), jnp.int32)
+        l1, c1 = LQ.lq_quantize(jnp.asarray(colors), None, labels0, 1, 256,
+                                batch_splits=1)
+        l16, c16 = LQ.lq_quantize(jnp.asarray(colors), None, labels0, 1, 256,
+                                  batch_splits=16)
+        assert int(c1) == 256 and int(c16) == 256
+        sse1 = _sse(colors, np.asarray(l1), 256)
+        sse16 = _sse(colors, np.asarray(l16), 256)
+        assert sse16 <= sse1 * 1.005 + 1e-6
