@@ -265,8 +265,9 @@ def lut_map_u8(colors_u8, lut, nthreads: int = 0):
     n = len(colors_u8)
     out = np.empty((n,), np.int32)
     if not nthreads:
-        # latency-bound gather: oversubscribing the cores hides table misses
-        nthreads = min(8, 2 * (os.cpu_count() or 1))
+        # latency-bound gather: oversubscribing the cores hides table
+        # misses (r5 A/B on the 2-vCPU host: 3x threads beat 2x by ~8%)
+        nthreads = min(12, 3 * (os.cpu_count() or 1))
     fn(_ptr(colors_u8, ctypes.c_uint8), n, _ptr(lut_padded, ct),
        _ptr(out, ctypes.c_int32), nthreads)
     return out
@@ -318,8 +319,9 @@ def lut_map_codes(codes, lut, nthreads: int = 0):
     n = len(codes)
     out = np.empty((n,), np.int32)
     if not nthreads:
-        # latency-bound gather: oversubscribing the cores hides table misses
-        nthreads = min(8, 2 * (os.cpu_count() or 1))
+        # latency-bound gather: oversubscribing the cores hides table
+        # misses (r5 A/B on the 2-vCPU host: 3x threads beat 2x by ~8%)
+        nthreads = min(12, 3 * (os.cpu_count() or 1))
     fn(_ptr(codes, ctypes.c_uint32), n, _ptr(lut_padded, ct),
        _ptr(out, ctypes.c_int32), nthreads)
     return out
