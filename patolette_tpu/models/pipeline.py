@@ -233,6 +233,56 @@ def _start_host_copy(x):
         pass
 
 
+def _draw_palette_samples(colors, n, w_host, rng, p, lq_max_samples,
+                          kmeans_niter, kmeans_max_samples):
+    """Host-side LQ + KMeans sample draws and their device upload.
+
+    Shared by the fused sample+LUT and streamed paths (they must not fork:
+    the draws define the RNG stream the golden pins and the S11 reuse rule
+    depend on). Returns ``(x_sub, w_lq, sub_km, w_km)`` — ``x_sub`` the
+    device LQ sample, ``sub_km`` the device KMeans sample or None (the
+    device program then reuses the LQ sample, S11).
+
+    When both unweighted draws exist they ship as ONE wire RPC (two ~1 MB
+    uploads each pay the ~28 ms tunnel RTT; the device split slices are
+    free); the S11 rule skips the second draw entirely when it would have
+    exactly the LQ draw's size (statistically equivalent, halves the
+    upload).
+    """
+    if lq_max_samples and n > lq_max_samples:
+        idx = rng.integers(0, n, size=int(lq_max_samples))
+        sub, w_lq_h = colors[idx], None if w_host is None else w_host[idx]
+    else:
+        sub, w_lq_h = colors, w_host
+
+    sub_km_h = idx2 = None
+    if kmeans_niter > 0:
+        cap = KM.subsample_cap(p, int(kmeans_max_samples))
+        if n > cap and not (len(sub) == cap and w_host is None):
+            idx2 = rng.integers(0, n, size=cap)
+            sub_km_h = colors[idx2]
+        elif n <= cap and sub is not colors:
+            sub_km_h = colors
+        # else: KMeans reuses the LQ sample inside the program (S11)
+
+    w_lq = w_km = None
+    if w_host is None and sub_km_h is not None \
+            and sub.dtype == sub_km_h.dtype:
+        both = _put_sample(np.concatenate([sub, sub_km_h]))
+        x_sub, sub_km = both[:len(sub)], both[len(sub):]
+    else:
+        x_sub = _put_sample(sub)
+        w_lq = None if w_lq_h is None else jnp.asarray(w_lq_h)
+        sub_km = None
+        if sub_km_h is not None:
+            sub_km = _put_sample(sub_km_h)
+            if w_host is not None:
+                w_km = jnp.asarray(
+                    w_host[idx2] if sub_km_h is not colors else w_host
+                )
+    return x_sub, w_lq, sub_km, w_km
+
+
 @functools.partial(jax.jit, static_argnames=("niter",))
 def _kmeans_on_samples(samples, weights, centers, valid, niter):
     return KM.lloyd_iterations(samples, weights, centers, valid, niter)
@@ -380,8 +430,8 @@ def _quantize_image_fused_lut(width, height, colors, p, *, csp, tile_size,
 
     _start_host_copy(pack)
     lut_np = LUT.pull_encoded_v2(enc)
-    if lut_np is None:  # block overflow: v1 encode / raw pull fallback
-        lut_np = LUT.pull_lut(lut_dev)
+    if lut_np is None:  # observed v2 overflow: go straight to v1/raw
+        lut_np = LUT.pull_lut(lut_dev, try_v2=False)
     timer.lap("lut-pull")
     palette_map = LUT.lut_map_host(colors, lut_np, codes=prefetch.take())
     timer.lap("lut-map-host")
@@ -408,45 +458,10 @@ def _quantize_via_samples_fused(width, height, colors, p, *, csp,
     # RLE decode (the host is otherwise idle in RPC waits)
     prefetch = LUT.CodesPrefetch(colors)
 
-    if lq_max_samples and n > lq_max_samples:
-        idx = rng.integers(0, n, size=int(lq_max_samples))
-        sub, w_lq_h = colors[idx], None if w_host is None else w_host[idx]
-    else:
-        sub, w_lq_h = colors, w_host
-
-    sub_km_h = None
-    if kmeans_niter > 0:
-        cap = KM.subsample_cap(p, int(kmeans_max_samples))
-        if n > cap and not (len(sub) == cap and w_host is None):
-            idx2 = rng.integers(0, n, size=cap)
-            sub_km_h = colors[idx2]
-        elif n <= cap and sub is not colors:
-            sub_km_h = colors
-        # else: KMeans reuses the LQ sample inside the program. When the
-        # LQ draw already has exactly the KMeans cap size (the default
-        # config: lq_max_samples == subsample_cap == 2^18), a second
-        # independent draw would double the upload bytes for no
-        # statistical gain (both are uniform with replacement) — the
-        # ~786 KB saved is ~40 ms of measured tunnel wire (S8, README
-        # divergence table; quality A/B'd flat on the bench suite).
-
-    w_lq = w_km = None
-    if w_host is None and sub_km_h is not None \
-            and sub.dtype == sub_km_h.dtype:
-        # ONE wire RPC for both samples (two ~1 MB uploads each pay the
-        # ~28 ms tunnel RTT; the device split slices are free)
-        both = _put_sample(np.concatenate([sub, sub_km_h]))
-        x_sub, sub_km = both[:len(sub)], both[len(sub):]
-    else:
-        x_sub = _put_sample(sub)
-        w_lq = None if w_lq_h is None else jnp.asarray(w_lq_h)
-        sub_km = None
-        if sub_km_h is not None:
-            sub_km = _put_sample(sub_km_h)
-            if w_host is not None:
-                w_km = jnp.asarray(
-                    w_host[idx2] if sub_km_h is not colors else w_host
-                )
+    x_sub, w_lq, sub_km, w_km = _draw_palette_samples(
+        colors, n, w_host, rng, p, lq_max_samples, kmeans_niter,
+        kmeans_max_samples,
+    )
     grid = LUT.grid_ictcp(csp)
     _sync_stage(x_sub)
     timer.lap("sample-in")
@@ -463,8 +478,8 @@ def _quantize_via_samples_fused(width, height, colors, p, *, csp,
 
     _start_host_copy(pack)  # ride the device-wait window, not a later RTT
     lut_np = LUT.pull_encoded_v2(enc)
-    if lut_np is None:  # block overflow: v1 encode / raw pull fallback
-        lut_np = LUT.pull_lut(lut_dev)
+    if lut_np is None:  # observed v2 overflow: go straight to v1/raw
+        lut_np = LUT.pull_lut(lut_dev, try_v2=False)
     timer.lap("lut-pull")
     palette_map = LUT.lut_map_host(colors, lut_np, codes=prefetch.take())
     timer.lap("lut-map-host")
@@ -654,37 +669,10 @@ def _quantize_streamed(width, height, colors, p, *, dither, palette_only,
     w_host = None if weights is None else np.asarray(weights, np.float32)
     _log(verbose, f"Streamed path: {n/1e6:.0f} MP exceeds the device budget")
 
-    if lq_max_samples and n > lq_max_samples:
-        idx = rng.integers(0, n, size=int(lq_max_samples))
-        sub, w_lq_h = colors[idx], None if w_host is None else w_host[idx]
-    else:
-        sub, w_lq_h = colors, w_host
-
-    sub_km_h = None
-    if kmeans_niter > 0:
-        cap = KM.subsample_cap(p, int(kmeans_max_samples))
-        if n > cap and not (len(sub) == cap and w_host is None):
-            idx2 = rng.integers(0, n, size=cap)
-            sub_km_h = colors[idx2]
-        elif n <= cap and sub is not colors:
-            sub_km_h = colors
-        # else: KMeans reuses the LQ sample inside the program (S11)
-
-    w_lq = w_km = None
-    if w_host is None and sub_km_h is not None \
-            and sub.dtype == sub_km_h.dtype:
-        both = _put_sample(np.concatenate([sub, sub_km_h]))  # ONE wire RPC
-        x_sub, sub_km = both[:len(sub)], both[len(sub):]
-    else:
-        x_sub = _put_sample(sub)
-        w_lq = None if w_lq_h is None else jnp.asarray(w_lq_h)
-        sub_km = None
-        if sub_km_h is not None:
-            sub_km = _put_sample(sub_km_h)
-            if w_host is not None:
-                w_km = jnp.asarray(
-                    w_host[idx2] if sub_km_h is not colors else w_host
-                )
+    x_sub, w_lq, sub_km, w_km = _draw_palette_samples(
+        colors, n, w_host, rng, p, lq_max_samples, kmeans_niter,
+        kmeans_max_samples,
+    )
     timer.lap("sample-in")
 
     # All-device palette program: no host sync until the first map pull,
@@ -1158,16 +1146,26 @@ def _quantize_body(
         oom = "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
         if not (oom and not use_saliency and lq_max_samples):
             raise
-        _log(verbose, "Device OOM on the resident path; retrying streamed")
-        return _quantize_streamed(
-            width, height, colors, p, dither=dither,
-            palette_only=palette_only, csp=csp,
-            kmeans_niter=kmeans_niter,
-            kmeans_max_samples=kmeans_max_samples, verbose=verbose,
-            weights=weights, lq_max_samples=lq_max_samples,
-            lq_batch_splits=lq_batch_splits, dither_segment=dither_segment,
-            seed=seed, timer=timer,
-        )
+        # Drop the failed frame's device buffers (xp_srgb/xp_work, ~24
+        # B/px of HBM) BEFORE retrying: the traceback would otherwise pin
+        # them for the whole streamed run, making the retry re-OOM in
+        # exactly the real-OOM case this net exists for.
+        import gc
+        import traceback as _tb
+
+        _tb.clear_frames(e.__traceback__)
+        del e
+        gc.collect()
+    _log(verbose, "Device OOM on the resident path; retrying streamed")
+    return _quantize_streamed(
+        width, height, colors, p, dither=dither,
+        palette_only=palette_only, csp=csp,
+        kmeans_niter=kmeans_niter,
+        kmeans_max_samples=kmeans_max_samples, verbose=verbose,
+        weights=weights, lq_max_samples=lq_max_samples,
+        lq_batch_splits=lq_batch_splits, dither_segment=dither_segment,
+        seed=seed, timer=timer,
+    )
 
 
 def _quantize_full_upload(width, height, colors, p, *, n, dither,

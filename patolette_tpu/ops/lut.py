@@ -405,24 +405,29 @@ def _rle_decode(packed: np.ndarray) -> np.ndarray:
     return np.repeat(vals, lengths)
 
 
-def pull_lut(lut_dev) -> np.ndarray:
+def pull_lut(lut_dev, try_v2: bool = True) -> np.ndarray:
     """Device LUT -> host numpy array, via the RLE wire format when the
     table is uint8 (palette <= 256) and compresses under the caps.
 
     Tries the v2 delta-u16 encode first (half the bytes, ~4x cheaper
     encode), then the v1 u32 encode (no per-block cap), then the raw
     16.7 MB pull. uint16 tables (256 < palette <= 65536) ride the u32
-    v2 format with a raw 33.5 MB fallback."""
+    v2 format with a raw 33.5 MB fallback. ``try_v2=False`` skips the v2
+    attempt — callers that already pulled an overflowed v2 header would
+    otherwise re-dispatch the identical encode (~45 ms of wasted wire)
+    just to hit the same flag."""
     if lut_dev.dtype == jnp.uint16:
-        words = pull_words_u16_v2(_rle_encode_u16_v2(lut_dev))
-        if words is not None:
-            return _rle_decode_u16_v2(words)
+        if try_v2:
+            words = pull_words_u16_v2(_rle_encode_u16_v2(lut_dev))
+            if words is not None:
+                return _rle_decode_u16_v2(words)
         return wire.get_1d(lut_dev)
     if lut_dev.dtype != jnp.uint8:
         return wire.get_1d(lut_dev)
-    out = pull_encoded_v2(_rle_encode_u8_v2(lut_dev))
-    if out is not None:
-        return out
+    if try_v2:
+        out = pull_encoded_v2(_rle_encode_u8_v2(lut_dev))
+        if out is not None:
+            return out
     out = pull_encoded(_rle_encode_u8(lut_dev))
     if out is None:  # > MAX_RUNS: fall back to the raw 16.7 MB pull
         return wire.get_1d(lut_dev)
