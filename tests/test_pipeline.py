@@ -310,3 +310,30 @@ def test_large_palette_1024_end_to_end():
     mse_1024 = np.mean((np.clip(pal, 0, 1)[pmap] - x) ** 2)
     mse_64 = np.mean((np.clip(pal2, 0, 1)[pmap2] - x) ** 2)
     assert mse_1024 < 0.5 * mse_64
+
+
+@pytest.mark.parametrize("name,w,h,p,kw", [
+    ("1x1_p1_dither", 1, 1, 1, dict(dither=True, tile_size=0,
+                                    kmeans_niter=0)),
+    ("8x1_p2_dither", 8, 1, 2, dict(dither=True, tile_size=0,
+                                    kmeans_niter=0)),
+    ("1x8_p2_dither", 1, 8, 2, dict(dither=True, tile_size=0,
+                                    kmeans_niter=0)),
+    ("2x2_p1_saliency", 2, 2, 1, dict(dither=False, tile_size=512,
+                                      kmeans_niter=4)),
+    ("5x3_p16_sal_dither", 5, 3, 16, dict(dither=True, tile_size=512,
+                                          kmeans_niter=2)),
+])
+def test_degenerate_shapes(name, w, h, p, kw):
+    """The reference accepts any w, h, palette_size >= 1 (patolette.c:78-94);
+    every routing path must survive single-pixel / single-row / single-
+    column images and p=1 (r5 edge battery)."""
+    rng = np.random.default_rng(hash(name) % 2**31)
+    colors = rng.uniform(0, 1, (w * h, 3))
+    ok, pal, pmap, msg = pt.quantize(w, h, colors, p, **kw)
+    assert ok, msg
+    assert pal.shape == (p, 3)
+    assert pmap.shape == (w * h,)
+    live = np.flatnonzero(pal[:, 0] >= 0)
+    assert len(live) >= 1
+    assert np.isin(np.unique(pmap), live).all()
