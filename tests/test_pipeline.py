@@ -337,3 +337,39 @@ def test_degenerate_shapes(name, w, h, p, kw):
     live = np.flatnonzero(pal[:, 0] >= 0)
     assert len(live) >= 1
     assert np.isin(np.unique(pmap), live).all()
+
+
+def test_routing_combination_fuzz():
+    """Seeded fuzz over the routing-relevant config lattice: every
+    combination must return ok=True with a valid palette/map (or a typed
+    -1, never a raise). Catches cross-path regressions the per-path
+    tests miss (r5; ~24 sampled combos)."""
+    rng = np.random.default_rng(1234)
+    for trial in range(24):
+        w = int(rng.integers(1, 70))
+        h = int(rng.integers(1, 70))
+        p = int(rng.choice([1, 2, 7, 16, 300]))
+        dtype_u8 = bool(rng.integers(0, 2))
+        colors = rng.uniform(0, 1, (w * h, 3))
+        if dtype_u8:
+            colors = (colors * 255).astype(np.uint8)
+        kw = dict(
+            dither=bool(rng.integers(0, 2)),
+            palette_only=bool(rng.integers(0, 2)),
+            tile_size=int(rng.choice([0, 256])),
+            kmeans_niter=int(rng.choice([0, 3])),
+            color_space=int(rng.integers(0, 3)),
+            lq_max_samples=int(rng.choice([0, 512, 1 << 18])),
+            dither_segment=int(rng.choice([0, 64, 4096])),
+        )
+        ok, pal, pmap, msg = pt.quantize(w, h, colors, p, **kw)
+        ctx = f"trial {trial}: {w}x{h} p={p} u8={dtype_u8} {kw}"
+        assert ok, f"{ctx}: {msg}"
+        assert pal.shape == (p, 3), ctx
+        live = np.flatnonzero(pal[:, 0] >= 0)
+        assert len(live) >= 1, ctx
+        if kw["palette_only"]:
+            assert pmap is None, ctx
+        else:
+            assert pmap.shape == (w * h,) and pmap.dtype == np.int32, ctx
+            assert np.isin(np.unique(pmap), live).all(), ctx
