@@ -228,3 +228,24 @@ def test_sharded_sync_stage_laps(mesh8):
                 "nn-map"} <= set(laps)
     finally:
         pipeline.set_sync_stages(prev)
+
+
+def test_mesh_lut_indivisible_shards_falls_back(monkeypatch):
+    """A mesh whose size does not divide 2^24 (e.g. 3 devices) must skip
+    the sharded LUT route and still produce a valid map via the direct
+    sharded NN path."""
+    import jax as _jax
+
+    from patolette_tpu.models import pipeline
+
+    mesh3 = PM.make_mesh(_jax.devices()[:3])
+    monkeypatch.setattr(pipeline, "LUT_MIN_PIXELS", 0)
+    h, w = 66, 64  # divisible by 3, not by LUT_SIZE constraints
+    colors = (np.clip(_image(h, w, seed=21), 0, 1) * 255).astype(np.uint8)
+    ok, pal, pmap, msg = pt.quantize(
+        w, h, colors, 8, dither=False, tile_size=0, kmeans_niter=2,
+        mesh=mesh3,
+    )
+    assert ok, msg
+    live = np.flatnonzero(pal[:, 0] >= 0)
+    assert np.isin(np.unique(pmap), live).all()
