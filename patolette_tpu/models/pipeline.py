@@ -557,14 +557,11 @@ def _quantize_via_samples(width, height, colors, p, *, palette_only, csp,
     )
     prefetch = LUT.CodesPrefetch(colors) if lut_ahead else None
 
-    if lq_max_samples and n > lq_max_samples:
-        idx = rng.integers(0, n, size=int(lq_max_samples))
-        sub = colors[idx]
-        w_lq_h = None if w_host is None else w_host[idx]
-    else:
-        sub, w_lq_h = colors, w_host
-    x_lq = _to_working(_put_sample(sub), csp)
-    w_lq = None if w_lq_h is None else jnp.asarray(w_lq_h)
+    x_sub, w_lq, sub_km, w_km = _draw_palette_samples(
+        colors, n, w_host, rng, p, lq_max_samples, kmeans_niter,
+        kmeans_max_samples,
+    )
+    x_lq = _to_working(x_sub, csp)
     _sync_stage(x_lq)
     timer.lap("sample-in")
 
@@ -575,18 +572,10 @@ def _quantize_via_samples(width, height, colors, p, *, palette_only, csp,
 
     if kmeans_niter > 0:
         _log(verbose, "KMeans refinement")
-        cap = KM.subsample_cap(p, int(kmeans_max_samples))
-        if n > cap:
-            idx2 = rng.integers(0, n, size=cap)
-            x_km = _to_working(_put_sample(colors[idx2]), csp)
-            w_km = (
-                None if w_host is None else jnp.asarray(w_host[idx2])
-            )
-        elif sub is colors:
+        if sub_km is None:  # S11: reuse the LQ sample
             x_km, w_km = x_lq, w_lq
         else:
-            x_km = _to_working(_put_sample(colors), csp)
-            w_km = None if w_host is None else jnp.asarray(w_host)
+            x_km = _to_working(sub_km, csp)
         centers = _kmeans_on_samples(
             x_km, w_km, centers, valid, int(kmeans_niter)
         )
