@@ -56,15 +56,13 @@ def _queue_weights(dtype):
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "segment"))
 def _dither_stream(colors2020, palette2020, valid, width, height, segment):
+    """Interleaved (N, 3) entry point: builds the step-major (seg, 3,
+    lanes) stream and delegates to the SAME scan core as the planar and
+    packed feeds (one copy of the validated step math — the r5 one-hot/
+    outer-product A/B applies everywhere)."""
     n = width * height
-    dtype = colors2020.dtype
-    chan_w = jnp.asarray([R_WEIGHT, G_WEIGHT, B_WEIGHT], dtype)
-    qw = _queue_weights(dtype)
 
     perm = hilbert.pixel_visit_order(width, height)
-
-    pal_scaled = palette2020 * chan_w[None, :]
-    pal_valid = valid
 
     seg = int(segment) if segment else n
     seg = max(1, min(seg, n))
@@ -72,42 +70,10 @@ def _dither_stream(colors2020, palette2020, valid, width, height, segment):
     # step-major gather (see _step_major_perm: feeding a transposed view
     # through lax.scan reads strided columns every step)
     perm2 = _step_major_perm(perm, seg, lanes, n)
-    stream = jnp.take(colors2020, perm2, axis=0).reshape(seg, lanes, 3)
-
-    ps2 = jnp.sum(pal_scaled * pal_scaled, axis=-1)
-    ps2 = jnp.where(pal_valid, ps2, jnp.inf)
-    pa, pb, pc = pal_scaled[:, 0], pal_scaled[:, 1], pal_scaled[:, 2]
-    iota_k = jnp.arange(palette2020.shape[0], dtype=jnp.int32)
-
-    def step(queue, px):
-        # queue: (lanes, QUEUE, 3); px: (lanes, 3). Distance as exact-f32
-        # rank-1 outer products + one-hot palette selection — see the
-        # _dither_scan_core docstring for the r5 A/B (a bf16 matmul flips
-        # 38% of argmins; a per-step gather runs ~5 elem/cycle).
-        err = jnp.einsum("q,lqc->lc", qw, queue)
-        corrected = px + err  # unclamped (riemersma.c:303-312)
-        q = corrected * chan_w[None, :]
-        d = ps2[None, :] - 2.0 * (
-            q[:, 0:1] * pa[None, :]
-            + q[:, 1:2] * pb[None, :]
-            + q[:, 2:3] * pc[None, :]
-        )
-        idx = jnp.argmin(d, axis=-1).astype(jnp.int32)
-        oh = (idx[:, None] == iota_k[None, :]).astype(dtype)
-        chosen = jnp.dot(oh, palette2020, precision="highest")
-        new_err = px - chosen
-        queue = jnp.concatenate([queue[:, 1:], new_err[:, None, :]], axis=1)
-        return queue, idx
-
-    queue0 = jnp.zeros((lanes, QUEUE, 3), dtype)
-    # unroll=8: amortize the per-iteration scan overhead
-    _, idx_stream = jax.lax.scan(
-        step, queue0, stream, unroll=8
-    )  # (seg, lanes)
-
-    return jnp.zeros((n,), jnp.int32).at[perm2].set(
-        idx_stream.reshape(-1), mode="drop"
-    )
+    xs = jnp.take(colors2020, perm2, axis=0).reshape(
+        seg, lanes, 3
+    ).transpose(0, 2, 1)  # (seg, 3, lanes)
+    return _dither_scan_core(xs, palette2020, valid, perm2, n, lanes)
 
 
 def riemersma_dither(colors_working, palette_working, valid, width, height,

@@ -132,9 +132,9 @@ def _gather_stack(channels, idx):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "niter", "cap", "seed")
+    jax.jit, static_argnames=("niter", "cap", "seed")
 )
-def _kmeans_stage_planar(channels, weights, centers, valid, k, niter, cap,
+def _kmeans_stage_planar(channels, weights, centers, valid, niter, cap,
                          seed):
     """KMeans refinement fed from planar channels: the deterministic
     subsample gathers per channel (1-D gathers), so the only interleaved
@@ -218,10 +218,17 @@ def _lut_min_pixels(palette_size: int) -> int:
 
 
 def _put_sample(sub):
-    """Host (M, 3) sample -> device, u8 raw or f32."""
-    if sub.dtype == np.uint8:
-        return jnp.asarray(sub)
-    return jnp.asarray(np.asarray(sub, dtype=np.float32))
+    """Host (M, 3) sample -> device, u8 raw or f32, chunked.
+
+    Rides wire.put_1d so a large float sample (up to SAMPLE_MAX = 4 MP ->
+    48-96 MB interleaved f32) respects the 16 MB wire-chunk discipline —
+    the tunnel drops to 3-16 MB/s on single transfers past 32 MB
+    (ops/wire.py measurements)."""
+    if sub.dtype != np.uint8:
+        sub = np.asarray(sub, dtype=np.float32)
+    return wire.put_1d(np.ascontiguousarray(sub).reshape(-1)).reshape(
+        sub.shape
+    )
 
 
 def _start_host_copy(x):
@@ -436,11 +443,7 @@ def _quantize_image_fused_lut(width, height, colors, p, *, csp, tile_size,
     palette_map = LUT.lut_map_host(colors, lut_np, codes=prefetch.take())
     timer.lap("lut-map-host")
 
-    pack_np = np.asarray(pack, np.float64)
-    pal_srgb = pack_np[:3 * p].reshape(p, 3)
-    valid_np = pack_np[3 * p:4 * p] > 0.5
-    palette = np.full((p, 3), -1.0)
-    palette[valid_np] = pal_srgb[valid_np]
+    palette, _ = _unpack_palette(np.asarray(pack, np.float64), p)
     return True, palette, palette_map, errors.exit_code_message(
         errors.ExitCode.SUCCESS
     )
@@ -484,11 +487,7 @@ def _quantize_via_samples_fused(width, height, colors, p, *, csp,
     palette_map = LUT.lut_map_host(colors, lut_np, codes=prefetch.take())
     timer.lap("lut-map-host")
 
-    pack_np = np.asarray(pack, np.float64)
-    pal_srgb = pack_np[:3 * p].reshape(p, 3)
-    valid_np = pack_np[3 * p:4 * p] > 0.5
-    palette = np.full((p, 3), -1.0)
-    palette[valid_np] = pal_srgb[valid_np]
+    palette, _ = _unpack_palette(np.asarray(pack, np.float64), p)
     return True, palette, palette_map, errors.exit_code_message(
         errors.ExitCode.SUCCESS
     )
@@ -522,6 +521,18 @@ def _finish_palette(palette_work, valid_np, p, csp):
     palette = np.full((p, 3), -1.0)
     palette[valid_np] = pal_srgb[valid_np]
     return palette
+
+
+def _unpack_palette(pack_np, p):
+    """Device pack [3p sRGB f32][p valid f32] -> (f64 palette with the
+    [-1,-1,-1] fill, valid mask). The ONE decoder of the pack layout the
+    fused/streamed/one-shot device programs emit — the layout and this
+    slicing must change together."""
+    pal_srgb = pack_np[:3 * p].reshape(p, 3)
+    valid_np = pack_np[3 * p:4 * p] > 0.5
+    palette = np.full((p, 3), -1.0)
+    palette[valid_np] = pal_srgb[valid_np]
+    return palette, valid_np
 
 
 def _quantize_via_samples(width, height, colors, p, *, palette_only, csp,
@@ -749,11 +760,7 @@ def _quantize_streamed(width, height, colors, p, *, dither, palette_only,
             _pull(item)
         timer.lap("dither" if dither else "nn-map")
 
-    pack_np = np.asarray(pack, np.float64)
-    pal_srgb = pack_np[:3 * p].reshape(p, 3)
-    valid_np = pack_np[3 * p:4 * p] > 0.5
-    palette = np.full((p, 3), -1.0)
-    palette[valid_np] = pal_srgb[valid_np]
+    palette, _ = _unpack_palette(np.asarray(pack, np.float64), p)
     return True, palette, palette_map, errors.exit_code_message(
         errors.ExitCode.SUCCESS
     )
@@ -856,8 +863,7 @@ def _quantize_one_shot(width, height, colors, p, *, dither, palette_only,
     )
     buf = wire.get_1d(out)  # the single result round trip
     pack = np.frombuffer(buf[-16 * p:].tobytes(), np.float32)
-    pal_srgb = pack[:3 * p].reshape(p, 3).astype(np.float64)
-    valid_np = pack[3 * p:4 * p] > 0.5
+    palette, valid_np = _unpack_palette(pack.astype(np.float64), p)
     palette_map = None
     if not palette_only:
         map_bytes = buf[:-16 * p]
@@ -872,8 +878,6 @@ def _quantize_one_shot(width, height, colors, p, *, dither, palette_only,
             # map is writable on every other path (ADVICE r4)
             palette_map = np.frombuffer(map_bytes.tobytes(), np.int32).copy()
     timer.lap("one-shot")
-    palette = np.full((p, 3), -1.0)
-    palette[valid_np] = pal_srgb[valid_np]
     return True, palette, palette_map, errors.exit_code_message(
         errors.ExitCode.SUCCESS
     )
@@ -1216,7 +1220,7 @@ def _quantize_full_upload(width, height, colors, p, *, n, dither,
     if kmeans_niter > 0:
         _log(verbose, "KMeans refinement")
         centers = _kmeans_stage_planar(
-            xp_work, w_full, centers, valid, p,
+            xp_work, w_full, centers, valid,
             int(kmeans_niter),
             KM.subsample_cap(p, int(kmeans_max_samples)), int(seed),
         )

@@ -84,21 +84,28 @@ def lut_dtype(palette_size: int):
 _GRID_CACHE: dict = {}  # color_space -> 3x (n_chunks, _CHUNK) f32 on device
 
 
+def _codes_to_ictcp(codes, color_space: int):
+    """uint8-sRGB code chunk -> ICtCp channel tuple, staged exactly like
+    the direct mapping path (sRGB -> working -> ICtCp, so CIELuv
+    round-trip rounding matches :func:`pipeline._nn_map_stage_planar` bit
+    for bit). The ONE copy of this staging — the single-device and
+    sharded grid builders both call it, which is what makes the mesh LUT
+    route byte-identical to the single-device table."""
+    inv = jnp.float32(1.0 / 255.0)
+    r = ((codes >> 16) & 0xFF).astype(jnp.float32) * inv
+    g = ((codes >> 8) & 0xFF).astype(jnp.float32) * inv
+    b = (codes & 0xFF).astype(jnp.float32) * inv
+    xw = cs.srgb_to_working((r, g, b), color_space)
+    return cs.working_to_ictcp(xw, color_space)
+
+
 @functools.partial(jax.jit, static_argnames=("color_space",))
 def _grid_build(color_space: int):
-    """ICtCp coordinates of every uint8 sRGB code, staged exactly like the
-    direct mapping path (sRGB -> working -> ICtCp, so CIELuv round-trip
-    rounding matches :func:`pipeline._nn_map_stage_planar` bit for bit)."""
+    """ICtCp coordinates of every uint8 sRGB code."""
 
     def body(_, start):
         codes = start + jax.lax.iota(jnp.int32, _CHUNK)
-        inv = jnp.float32(1.0 / 255.0)
-        r = ((codes >> 16) & 0xFF).astype(jnp.float32) * inv
-        g = ((codes >> 8) & 0xFF).astype(jnp.float32) * inv
-        b = (codes & 0xFF).astype(jnp.float32) * inv
-        xw = cs.srgb_to_working((r, g, b), color_space)
-        xa, xb, xc = cs.working_to_ictcp(xw, color_space)
-        return None, (xa, xb, xc)
+        return None, _codes_to_ictcp(codes, color_space)
 
     starts = jnp.arange(0, LUT_SIZE, _CHUNK, dtype=jnp.int32)
     _, grid = jax.lax.scan(body, None, starts)
@@ -106,11 +113,12 @@ def _grid_build(color_space: int):
 
 
 def grid_ictcp(color_space: int):
-    """Cached ICtCp grid for ``color_space`` (one space resident at a time
-    — each grid is 201 MB of HBM)."""
+    """Cached ICtCp grid for ``color_space`` (one grid resident at a time
+    ACROSS both the single-device and mesh caches — each is 201 MB of
+    HBM, so building either evicts both)."""
     g = _GRID_CACHE.get(color_space)
     if g is None:
-        _GRID_CACHE.clear()
+        clear_grid_cache()
         g = _grid_build(color_space)
         _GRID_CACHE[color_space] = g
     return g
@@ -118,6 +126,7 @@ def grid_ictcp(color_space: int):
 
 def clear_grid_cache():
     _GRID_CACHE.clear()
+    _GRID_MESH_CACHE.clear()
 
 
 # --------------------------------------------------------------------------
@@ -303,25 +312,12 @@ def _rle_encode_u16_v2(lut):
 def pull_words_u16_v2(enc) -> np.ndarray | None:
     """Pull the u32 run words of a `_rle_encode_u16_v2` buffer; None on
     overflow."""
-    total = enc.shape[0]
-    step = min(_V2_STEP, total)
+    step = min(_V2_STEP, enc.shape[0])
     first = np.asarray(wire._slice_1d(enc, 0, step))
     count = int(first[0])
     if first[1] or count > MAX_RUNS:
         return None
-    head = first[2:]
-    if count <= len(head):
-        return head[:count]
-    parts = [head]
-    got = len(head)
-    while got < count:
-        start = min(2 + got, total - step)
-        win = np.asarray(wire._slice_1d(enc, start, step))
-        off = 2 + got - start
-        take = min(step - off, count - got)
-        parts.append(win[off:off + take])
-        got += take
-    return np.concatenate(parts)
+    return _pull_windowed(enc, 0, 2, count, step, first)
 
 
 def _rle_decode_u16_v2(words: np.ndarray,
@@ -360,25 +356,12 @@ def pull_words_v2(enc, base: int = 0) -> np.ndarray | None:
     offsets for the stacked sharded build). None on overflow."""
     total = enc.shape[0]
     step = min(_V2_STEP, total)
-    start = min(base, total - step)
-    first = np.asarray(wire._slice_1d(enc, start, step))
-    off = base - start
+    first = np.asarray(wire._slice_1d(enc, min(base, total - step), step))
+    off = base - min(base, total - step)
     count = int(first[off]) | (int(first[off + 1]) << 16)
     if first[off + 2] or count > MAX_RUNS:
         return None
-    head = first[off + 3:]
-    if count <= len(head):
-        return head[:count]
-    parts = [head]
-    got = len(head)
-    while got < count:
-        w_start = min(base + 3 + got, total - step)
-        win = np.asarray(wire._slice_1d(enc, w_start, step))
-        w_off = base + 3 + got - w_start
-        take = min(step - w_off, count - got)
-        parts.append(win[w_off:w_off + take])
-        got += take
-    return np.concatenate(parts)
+    return _pull_windowed(enc, base, 3, count, step, first)
 
 
 def pull_encoded_v2(enc) -> np.ndarray | None:
@@ -434,29 +417,40 @@ def pull_lut(lut_dev, try_v2: bool = True) -> np.ndarray:
     return out
 
 
+def _pull_windowed(enc, base: int, hdr: int, count: int, step: int,
+                   first: np.ndarray) -> np.ndarray:
+    """Collect ``count`` run words starting at word ``base + hdr`` of the
+    device buffer ``enc``, given the already-pulled first window ``first``
+    (fetched at ``min(base, total - step)``). Full-step windows clamped to
+    the buffer end, with the overlap trimmed off the front so chunks stay
+    contiguous — the ONE copy of the off-by-one-prone arithmetic all three
+    RLE wire formats share."""
+    total = enc.shape[0]
+    off = base - min(base, total - step)
+    head = first[off + hdr:]
+    if count <= len(head):
+        return head[:count]
+    parts = [head]
+    got = len(head)
+    while got < count:
+        w_start = min(base + hdr + got, total - step)
+        win = np.asarray(wire._slice_1d(enc, w_start, step))
+        w_off = base + hdr + got - w_start
+        take = min(step - w_off, count - got)
+        parts.append(win[w_off:w_off + take])
+        got += take
+    return np.concatenate(parts)
+
+
 def pull_encoded(enc) -> np.ndarray | None:
     """Pull + decode a device ``_rle_encode_u8`` buffer; None when the run
     count overflowed MAX_RUNS (caller falls back to a raw table pull)."""
-    first = np.asarray(wire._slice_1d(enc, 0, _RLE_STEP))
+    step = min(_RLE_STEP, enc.shape[0])
+    first = np.asarray(wire._slice_1d(enc, 0, step))
     count = int(first[0])
     if count > MAX_RUNS:
         return None
-    if count <= _RLE_STEP - 1:
-        packed = first[1:1 + count]
-    else:
-        parts = [first[1:]]
-        got = _RLE_STEP - 1
-        while got < count:
-            # full-step windows, clamped to the buffer end (overlap is
-            # trimmed off the front so chunks stay contiguous)
-            start = min(1 + got, MAX_RUNS + 1 - _RLE_STEP)
-            win = np.asarray(wire._slice_1d(enc, start, _RLE_STEP))
-            off = 1 + got - start
-            take = min(_RLE_STEP - off, count - got)
-            parts.append(win[off:off + take])
-            got += take
-        packed = np.concatenate(parts)
-    return _rle_decode(packed)
+    return _rle_decode(_pull_windowed(enc, 0, 1, count, step, first))
 
 
 # --------------------------------------------------------------------------
@@ -486,12 +480,7 @@ def grid_ictcp_sharded(color_space: int, mesh):
 
         def b(_, start):
             codes = start + jax.lax.iota(jnp.int32, chunk)
-            inv = jnp.float32(1.0 / 255.0)
-            r = ((codes >> 16) & 0xFF).astype(jnp.float32) * inv
-            gg = ((codes >> 8) & 0xFF).astype(jnp.float32) * inv
-            bb = (codes & 0xFF).astype(jnp.float32) * inv
-            xw = cs.srgb_to_working((r, gg, bb), int(color_space))
-            return None, cs.working_to_ictcp(xw, int(color_space))
+            return None, _codes_to_ictcp(codes, int(color_space))
 
         starts = shard * per + jnp.arange(0, per, chunk, dtype=jnp.int32)
         _, grid = jax.lax.scan(b, None, starts)
@@ -501,7 +490,7 @@ def grid_ictcp_sharded(color_space: int, mesh):
         body, mesh=mesh, in_specs=(), out_specs=(P(AXIS),) * 3,
         check_vma=False,
     )
-    _GRID_MESH_CACHE.clear()
+    clear_grid_cache()  # one ~201 MB grid resident at a time, either kind
     g = jax.jit(mapped)()
     _GRID_MESH_CACHE[key] = g
     return g

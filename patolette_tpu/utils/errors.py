@@ -42,8 +42,13 @@ def exit_code_message(code: ExitCode | int) -> str:
 
 
 def validate_dims(width: int, height: int, palette_size: int) -> ExitCode:
-    """Mirror of validate_arguments (reference patolette.c:61-95)."""
-    if width * height == 0:
+    """Mirror of validate_arguments (reference patolette.c:61-95).
+
+    Dimensions must each be >= 1 — not just have a positive product:
+    width=-4, height=-9 multiplies to +36 and would sail through a
+    product-only check into wrapped-modulus Hilbert indexing (the
+    reference's Cython layer declares size_t and raises on negatives)."""
+    if width < 1 or height < 1:
         return ExitCode.BAD_DIMS
     if palette_size < 1:
         return ExitCode.BAD_PALETTE_SIZE

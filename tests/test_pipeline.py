@@ -373,3 +373,12 @@ def test_routing_combination_fuzz():
         else:
             assert pmap.shape == (w * h,) and pmap.dtype == np.int32, ctx
             assert np.isin(np.unique(pmap), live).all(), ctx
+
+
+def test_negative_dims_rejected():
+    """width/height must each be >= 1 — a negative pair with a positive
+    product must not sail through (r5 review finding)."""
+    colors = np.zeros((36, 3))
+    ok, pal, pmap, msg = pt.quantize(-4, -9, colors, 4)
+    assert ok is False and pal is None and pmap is None
+    assert "greater than 0" in msg
