@@ -75,15 +75,23 @@ def _load():
         return _lib
     _tried = True
 
-    if shutil.which(os.environ.get("CXX", "g++")) is None:
-        _build_error = "no C++ compiler (g++) on PATH"
-        return None
-
     want = _source_hash()
+    have_cxx = shutil.which(os.environ.get("CXX", "g++")) is not None
     if not os.path.exists(_SO):
+        # only a (re)build needs the compiler — a shipped hash-fresh
+        # binary must load fine on compilerless hosts (r5 review)
+        if not have_cxx:
+            _build_error = "no C++ compiler (g++) on PATH"
+            return None
         if not _make(force=False):
             return None
     lib = _dlopen()
+    if lib is not None and _lib_hash(lib) != want and not have_cxx:
+        _build_error = (
+            "committed binary is stale and no C++ compiler (g++) on PATH "
+            "to rebuild it"
+        )
+        return None
     if lib is not None and _lib_hash(lib) != want:
         # stale binary (e.g. fresh checkout with a committed .so older than
         # the source): drop the handle and force-rebuild
@@ -179,10 +187,20 @@ def _ptr(a, ct):
     return a.ctypes.data_as(ctypes.POINTER(ct))
 
 
+def _require():
+    """_load() or a self-explaining failure (the lut_* wrappers return
+    None by contract; the oracle entry points raise instead of
+    dereferencing None with an opaque AttributeError — r5 review)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native oracle unavailable: {_build_error}")
+    return lib
+
+
 def riemersma_dither(image, width, height, palette, channel_weights):
     """Exact serial reference-semantics dither. image: (h*w, 3) f64 linear
     Rec2020; returns int32 (h*w) palette map."""
-    lib = _load()
+    lib = _require()
     image = np.ascontiguousarray(image, np.float64)
     palette = np.ascontiguousarray(palette, np.float64)
     cw = np.ascontiguousarray(channel_weights, np.float64)
@@ -196,7 +214,7 @@ def riemersma_dither(image, width, height, palette, channel_weights):
 
 
 def nn_map(colors, palette):
-    lib = _load()
+    lib = _require()
     colors = np.ascontiguousarray(colors, np.float64)
     palette = np.ascontiguousarray(palette, np.float64)
     out = np.zeros(len(colors), np.int32)
@@ -210,7 +228,7 @@ def nn_map(colors, palette):
 
 def mbd(img, iters=3):
     """Full MBD transform with the reference's alternating scans."""
-    lib = _load()
+    lib = _require()
     img = np.ascontiguousarray(img, np.float32)
     rows, cols = img.shape
     l = img.copy()
@@ -378,7 +396,7 @@ def rle_decode_u16_v2(words, table_size: int = LUT_SIZE):
 
 
 def hilbert_d(x, y, order):
-    lib = _load()
+    lib = _require()
     x = np.ascontiguousarray(x, np.uint32)
     y = np.ascontiguousarray(y, np.uint32)
     out = np.zeros(len(x), np.uint64)

@@ -72,15 +72,11 @@ def put_planar_local(local_colors: np.ndarray, mesh, global_len: int):
     """(local_n, 3) rows -> 3 global (N,) channel vectors (u8 raw or f32),
     the distributed analogue of ``mesh.put_planar_sharded``."""
     local_colors = np.asarray(local_colors)
-    out = []
-    for k in range(3):
-        col = local_colors[:, k]
-        if col.dtype != np.uint8:
-            col = np.ascontiguousarray(col, np.float32)
-        else:
-            col = np.ascontiguousarray(col)
-        out.append(put_pixels_local(col, mesh, global_len))
-    return tuple(out)
+    return tuple(
+        put_pixels_local(PM.wire_channel(local_colors[:, k]), mesh,
+                         global_len)
+        for k in range(3)
+    )
 
 
 def quantize_palette_distributed(mesh, palette_size: int, **kw):

@@ -43,6 +43,16 @@ def shard_pixels(x, mesh):
     return jax.device_put(x, NamedSharding(mesh, P(AXIS)))
 
 
+def wire_channel(col: np.ndarray) -> np.ndarray:
+    """Per-channel wire coercion: u8 stays raw bytes, everything else
+    becomes contiguous f32. The ONE copy of the channel dtype policy —
+    the single-process sharded path and the multi-host local feed both
+    use it (r5 review: two hand-synchronized copies)."""
+    if col.dtype != np.uint8:
+        return np.ascontiguousarray(col, np.float32)
+    return np.ascontiguousarray(col)
+
+
 def put_planar_sharded(colors, mesh):
     """(N, 3) host image -> 3 x (N,) channel vectors sharded over ``AXIS``.
 
@@ -53,15 +63,9 @@ def put_planar_sharded(colors, mesh):
     bytes per RPC) replaces single-chip 16 MB chunking. Floats go as f32."""
     colors = np.asarray(colors)
     sh = NamedSharding(mesh, P(AXIS))
-    out = []
-    for k in range(3):
-        col = colors[:, k]
-        if col.dtype != np.uint8:
-            col = np.ascontiguousarray(col, np.float32)
-        else:
-            col = np.ascontiguousarray(col)
-        out.append(jax.device_put(col, sh))
-    return tuple(out)
+    return tuple(
+        jax.device_put(wire_channel(colors[:, k]), sh) for k in range(3)
+    )
 
 
 def put_vector_sharded(w, mesh):
@@ -72,12 +76,17 @@ def put_vector_sharded(w, mesh):
     )
 
 
-def ones_sharded(n: int, mesh):
-    """(n,) f32 ones created directly on the mesh — no wire transfer."""
+@functools.lru_cache(maxsize=8)
+def _ones_program(n: int, mesh):
     return jax.jit(
         lambda: jnp.ones((n,), jnp.float32),
         out_shardings=NamedSharding(mesh, P(AXIS)),
-    )()
+    )
+
+
+def ones_sharded(n: int, mesh):
+    """(n,) f32 ones created directly on the mesh — no wire transfer."""
+    return _ones_program(n, mesh)()
 
 
 def _normalize_channels(r, g, b):
@@ -92,12 +101,18 @@ def pad_to_shards(n: int, n_shards: int) -> int:
     return -(-n // n_shards) * n_shards
 
 
+@functools.lru_cache(maxsize=8)
 def quantize_palette_sharded(mesh, palette_size: int, color_space: int = 2,
                              kmeans_niter: int = 0,
                              kmeans_max_samples: int = 512**2,
                              seed: int = 1234, *, lq_max_samples: int = 0,
                              planar: bool = False, with_map: bool = True):
     """Build the jitted sharded palette pipeline for a mesh.
+
+    Cached on the full (mesh, params) key: a fresh ``jax.jit`` object per
+    call would defeat jit's function-identity cache and re-trace (and,
+    through the tunnel, re-enter the serialized remote-compile queue) on
+    every ``quantize(mesh=...)`` invocation (r5 review).
 
     Returns ``fn(colors, weights) -> (palette_working, valid, palette_map)``
     where ``colors`` is (N, 3) row-sharded (N divisible by the mesh size)
@@ -131,9 +146,11 @@ def quantize_palette_sharded(mesh, palette_size: int, color_space: int = 2,
     return jax.jit(mapped)
 
 
+@functools.lru_cache(maxsize=8)
 def saliency_sharded(mesh, width: int, strip_h: int, tile_size: float,
                      total_pixels: int):
     """Per-shard MBD saliency over contiguous row strips (SURVEY 2.3 row 4).
+    Cached on (mesh, params) — see quantize_palette_sharded.
 
     Each shard runs the full saliency pipeline (MBD wavefront scans +
     border/center priors) on its own ``strip_h x width`` strip — the
@@ -169,9 +186,11 @@ def saliency_sharded(mesh, width: int, strip_h: int, tile_size: float,
     return jax.jit(mapped)
 
 
+@functools.lru_cache(maxsize=8)
 def dither_sharded(mesh, width: int, height: int, color_space: int,
                    segment: int = 4096, *, planar: bool = False):
     """Per-shard Riemersma dither over contiguous row strips.
+    Cached on (mesh, params) — see quantize_palette_sharded.
 
     The image is split into ``n_shards`` horizontal strips (height must be
     divisible); each shard runs the full Hilbert dither on its strip with a

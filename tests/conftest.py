@@ -57,5 +57,17 @@ def _drop_jax_state_between_modules():
     reuse is minor, so the runtime cost is a few recompiles.
     """
     yield
+    # our own caches hold references to jitted objects / device grids —
+    # drop them so clear_caches can actually free the executables
+    try:
+        from patolette_tpu.ops import lut as _lut
+        from patolette_tpu.parallel import mesh as _mesh
+
+        _lut.clear_grid_cache()
+        for _fn in (_mesh.quantize_palette_sharded, _mesh.saliency_sharded,
+                    _mesh.dither_sharded, _mesh._ones_program):
+            _fn.cache_clear()
+    except Exception:
+        pass
     _jax.clear_caches()
     gc.collect()
